@@ -1,0 +1,90 @@
+"""Flagship KG-construction pipeline (SURVEY.md §7).
+
+    read (Lance/Parquet interleaved docs)
+      -> normalize (span-sequence validation + text view)     [map_batches]
+      -> fused mention detection + pair fan-out + scoring     [actor pool]
+      -> entity linking (broadcast canonical dict)            [actor pool]
+      -> triple-store dedup (partial agg + one small shuffle) [groupby]
+
+Everything streams; the only materialized intermediates are (a) the
+distinct-surface list (tiny, feeds the canonical dict) and (b) the
+final triple store if the caller writes it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import ray.data as rd
+
+from rex_ray.pipelines import spec
+from rex_ray.sources import interleaved as il
+from rex_ray.stages import aggregate as agg
+from rex_ray.stages import canonical as canon
+from rex_ray.stages import extract, link
+
+
+def distinct_surfaces(docs_text_ds) -> list:
+    """Distinct gazetteer surfaces present in the corpus.  Partial
+    per-batch distinct inside the mention stage keeps the shuffle input
+    tiny (one row per surface per batch)."""
+    partial = docs_text_ds.map_batches(
+        extract.MentionExtractor,
+        batch_format="pandas",
+        concurrency=(1, 8),
+    ).map_batches(
+        lambda b: b[["surface"]].drop_duplicates(), batch_format="pandas"
+    )
+    uniq = partial.unique("surface")
+    return sorted(uniq) if uniq else []  # empty corpus -> no surfaces
+
+
+def build_canonical_map(docs_text_ds) -> Dict[str, str]:
+    """surface -> canonical entity id, via connected components over the
+    variant-edge graph restricted to present surfaces (driver-side
+    union-find: the alias graph is broadcast-small; the distributed
+    label-propagation twin lives in ``stages.canonical`` for graphs
+    that aren't)."""
+    surfaces = distinct_surfaces(docs_text_ds)
+    return canon.canonical_map_for_surfaces(
+        surfaces, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX
+    )
+
+
+def triple_store_from_text_docs(
+    docs_text_ds,
+    min_score: float = 0.0,
+    canonical: Optional[Dict[str, str]] = None,
+):
+    """(doc_id, text) Dataset -> deduped triple store Dataset
+    (subj_id, pred, obj_id, score, support)."""
+    if canonical is None:
+        canonical = build_canonical_map(docs_text_ds)
+    triples = extract.extract_triples(docs_text_ds, min_score=min_score)
+    linked = link.link_triples(triples, canonical)
+    return agg.dedup_triple_store(linked)
+
+
+def triple_store_from_interleaved(
+    interleaved_ds,
+    min_score: float = 0.0,
+    canonical: Optional[Dict[str, str]] = None,
+):
+    """Interleaved text+media docs -> triple store.  The normalize stage
+    validates the span-sequence invariant on every row and projects the
+    text view; media spans pass through untouched to the multimodal
+    stages (``stages.multimodal``)."""
+    text_ds = il.text_view(interleaved_ds)
+    return triple_store_from_text_docs(
+        text_ds, min_score=min_score, canonical=canonical
+    )
+
+
+def run_flagship(sf_dir: str, min_score: float = 0.0):
+    """documents.parquet -> interleaved synthesis -> full pipeline.
+    Column-pruned read; returns the (small) triple-store Dataset."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    inter = il.synthesize_interleaved(docs)
+    return triple_store_from_interleaved(inter, min_score=min_score)

@@ -1,0 +1,297 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``(sf_dir) -> Dataset`` callable, with an equivalent DuckDB oracle SQL
+string where SQL can express the semantics.
+
+The SQL is rendered from the SAME literals in ``pipelines/spec.py`` that
+the Ray stages use (gazetteer, predicate map, variant edges, window,
+interleaved-synthesis arithmetic), so Ray and oracle cannot drift.
+
+Column names are aligned 1:1 between the Ray result and the SQL (the
+driver hash-compares values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pandas as pd
+
+from rex_ray.pipelines import spec
+
+# --------------------------------------------------------------------------
+# shared SQL fragments
+# --------------------------------------------------------------------------
+
+def _kg_ctes() -> str:
+    """tok / mention / tri CTE chain over the ``documents`` view."""
+    return f"""
+    tok AS ({spec.SQL_TOKENS}),
+    mention AS (
+        SELECT t.doc_id, t.pos, t.tok AS surface, gaz.ent_type
+        FROM tok t JOIN {spec.sql_gazetteer_values()} ON t.tok = gaz.surface
+    ),
+    tri AS (
+        SELECT h.doc_id,
+               h.surface AS subj, h.pos AS subj_pos, h.ent_type AS subj_type,
+               t.surface AS obj,  t.pos AS obj_pos,  t.ent_type AS obj_type,
+               {spec.sql_pred_case()} AS pred,
+               1.0 / (t.pos - h.pos) AS score
+        FROM mention h
+        JOIN mention t
+          ON h.doc_id = t.doc_id
+         AND t.pos - h.pos BETWEEN 1 AND {spec.PAIR_WINDOW}
+    )"""
+
+
+def _canon_ctes() -> str:
+    """present / edge / reach / canon CTEs (requires WITH RECURSIVE and
+    the ``mention`` CTE in scope)."""
+    return f"""
+    present AS (SELECT DISTINCT surface FROM mention),
+    vedge AS (SELECT a, b FROM {spec.sql_variant_edges_values()}),
+    edge AS (
+        SELECT v.a, v.b FROM vedge v
+        JOIN present p1 ON v.a = p1.surface
+        JOIN present p2 ON v.b = p2.surface
+        UNION ALL
+        SELECT v.b, v.a FROM vedge v
+        JOIN present p1 ON v.a = p1.surface
+        JOIN present p2 ON v.b = p2.surface
+    ),
+    reach(s, r) AS (
+        SELECT surface, surface FROM present
+        UNION
+        SELECT re.s, e.b FROM reach re JOIN edge e ON re.r = e.a
+    ),
+    canon AS (
+        SELECT s AS surface, '{spec.ENTITY_ID_PREFIX}' || min(r) AS canonical_id
+        FROM reach GROUP BY s
+    )"""
+
+
+# --------------------------------------------------------------------------
+# Ray-side query callables (lazy imports keep module import cheap and
+# keep Ray out of oracle-only contexts)
+# --------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _docs(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+def q_kg_mentions(sf_dir: str):
+    from rex_ray.stages import extract
+
+    return extract.extract_mentions(_docs(sf_dir))
+
+
+def q_kg_mention_type_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+    from rex_ray.stages import extract
+
+    mentions = extract.extract_mentions(_docs(sf_dir))
+    partial = mentions.map_batches(
+        lambda b: b.groupby("ent_type", sort=False)
+        .size()
+        .rename("n_mentions")
+        .reset_index(),
+        batch_format="pandas",
+    )
+    return partial.groupby("ent_type").aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
+    )
+
+
+def q_kg_triples(sf_dir: str):
+    from rex_ray.stages import extract
+
+    return extract.extract_triples(_docs(sf_dir))
+
+
+def q_kg_triple_tiers(sf_dir: str):
+    from rex_ray.stages import aggregate as agg
+    from rex_ray.stages import extract
+
+    triples = extract.extract_triples(_docs(sf_dir))
+    return agg.score_tier_counts(triples, spec.SCORE_TIERS)
+
+
+def q_kg_bags(sf_dir: str):
+    from rex_ray.stages import aggregate as agg
+    from rex_ray.stages import extract
+
+    return agg.aggregate_bags(extract.extract_triples(_docs(sf_dir)))
+
+
+def q_kg_canonical_map(sf_dir: str):
+    import ray.data as rd
+    from rex_ray.pipelines import kg
+
+    canon = kg.build_canonical_map(_docs(sf_dir))
+    return rd.from_items(
+        [
+            {"surface": s, "canonical_id": c}
+            for s, c in sorted(canon.items())
+        ]
+    )
+
+
+def q_kg_triple_store(sf_dir: str):
+    from rex_ray.pipelines import kg
+
+    return kg.triple_store_from_text_docs(_docs(sf_dir))
+
+
+def q_kg_triple_store_interleaved(sf_dir: str):
+    """Same result as kg_triple_store, but through the full interleaved
+    path: synthesize Lance-shaped docs -> validate span sequence ->
+    text view -> extract.  Proves the interleaved plumbing end-to-end
+    against the same oracle."""
+    from rex_ray.pipelines import kg
+
+    return kg.run_flagship(sf_dir)
+
+
+def q_mm_media_stats(sf_dir: str):
+    from ray.data.aggregate import Sum
+    from rex_ray.sources import interleaved as il
+
+    inter = il.synthesize_interleaved(_docs(sf_dir))
+    media = il.media_spans(inter)
+    partial = media.map_batches(
+        lambda b: b.groupby("kind", sort=False)
+        .size()
+        .rename("n_spans")
+        .reset_index(),
+        batch_format="pandas",
+    )
+    return partial.groupby("kind").aggregate(Sum("n_spans", alias_name="n_spans"))
+
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+_SQL: Dict[str, str] = {}
+
+_SQL["kg_mentions"] = f"""
+WITH {_kg_ctes()}
+SELECT doc_id, pos, surface, ent_type FROM mention
+"""
+
+_SQL["kg_mention_type_counts"] = f"""
+WITH {_kg_ctes()}
+SELECT ent_type, CAST(count(*) AS BIGINT) AS n_mentions
+FROM mention GROUP BY ent_type
+"""
+
+_SQL["kg_triples"] = f"""
+WITH {_kg_ctes()}
+SELECT doc_id, subj, subj_pos, subj_type, pred, obj, obj_pos, obj_type,
+       subj || '{spec.BAG_KEY_SEP}' || obj AS pair_key, score
+FROM tri
+"""
+
+_SQL["kg_triple_tiers"] = f"""
+WITH {_kg_ctes()},
+tiers AS (SELECT unnest({spec.SCORE_TIERS!r}::DOUBLE[]) AS tier)
+SELECT t.tier,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT tri.pred) AS BIGINT) AS n_predicates
+FROM tiers t JOIN tri ON tri.score >= t.tier
+GROUP BY t.tier
+"""
+
+_SQL["kg_bags"] = f"""
+WITH {_kg_ctes()},
+bagcnt AS (
+    SELECT subj || '{spec.BAG_KEY_SEP}' || obj AS pair_key, pred,
+           CAST(count(*) AS BIGINT) AS cnt, max(score) AS mx
+    FROM tri GROUP BY 1, 2
+),
+ranked AS (
+    SELECT pair_key, pred, cnt, mx,
+           row_number() OVER (PARTITION BY pair_key
+                              ORDER BY cnt DESC, pred ASC) AS rn,
+           CAST(sum(cnt) OVER (PARTITION BY pair_key) AS BIGINT) AS n_instances,
+           max(mx) OVER (PARTITION BY pair_key) AS max_score
+    FROM bagcnt
+)
+SELECT pair_key, pred AS bag_label, n_instances, max_score
+FROM ranked WHERE rn = 1
+"""
+
+_SQL["kg_canonical_map"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()}
+SELECT surface, canonical_id FROM canon
+"""
+
+_TRIPLE_STORE_SQL = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()}
+SELECT cs.canonical_id AS subj_id, tri.pred, co.canonical_id AS obj_id,
+       max(tri.score) AS score, CAST(count(*) AS BIGINT) AS support
+FROM tri
+JOIN canon cs ON tri.subj = cs.surface
+JOIN canon co ON tri.obj = co.surface
+GROUP BY 1, 2, 3
+"""
+_SQL["kg_triple_store"] = _TRIPLE_STORE_SQL
+_SQL["kg_triple_store_interleaved"] = _TRIPLE_STORE_SQL
+
+_SQL["mm_media_stats"] = """
+WITH stats AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n,
+           4 + doc_id % 4 AS c
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           ((n + c - 1) // c) // 2 AS mcount,
+           doc_id % 2 AS par
+    FROM stats
+),
+per_doc AS (
+    SELECT 'image' AS kind,
+           CASE WHEN par = 0 THEN mcount // 2 ELSE (mcount + 1) // 2 END AS n
+    FROM m
+    UNION ALL
+    SELECT 'audio' AS kind,
+           mcount - (CASE WHEN par = 0 THEN mcount // 2
+                          ELSE (mcount + 1) // 2 END) AS n
+    FROM m
+)
+SELECT kind, CAST(sum(n) AS BIGINT) AS n_spans
+FROM per_doc GROUP BY kind HAVING sum(n) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable] = {
+    "kg_mentions": q_kg_mentions,
+    "kg_mention_type_counts": q_kg_mention_type_counts,
+    "kg_triples": q_kg_triples,
+    "kg_triple_tiers": q_kg_triple_tiers,
+    "kg_bags": q_kg_bags,
+    "kg_canonical_map": q_kg_canonical_map,
+    "kg_triple_store": q_kg_triple_store,
+    "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
+    "mm_media_stats": q_mm_media_stats,
+}
+
+
+def queries() -> Dict[str, Callable]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> Dict[str, str]:
+    return dict(_SQL)

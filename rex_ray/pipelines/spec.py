@@ -1,0 +1,153 @@
+"""Deterministic KG-extraction specification.
+
+Single source of truth shared by the Ray pipeline stages AND the DuckDB
+oracle SQL (``pipelines/queries.py`` renders the literals below into SQL
+fragments), so the two can never drift apart.
+
+The corpus (``documents.parquet``) is space-separated tokens over a small
+vocabulary with Zipf-ish skew; the spec mirrors the reference's
+extraction shape (gazetteer NER -> windowed entity-pair fan-out ->
+scored triples -> bags keyed "head###tail" -> alias linking ->
+connected-component canonicalization -> deduped triple store) as
+closed-form deterministic rules:
+
+* mention  = any token equal to a gazetteer surface; span = (pos, pos+1)
+  (flat-map per doc, reference ``rex/data/transforms/sent_re.py:31-63``)
+* pair     = mentions (h, t) in one doc with 1 <= pos_t - pos_h <= PAIR_WINDOW
+  (pair fan-out + validity window, ``sent_re.py:44-63``)
+* pred     = PRED_MAP[(type_h, type_t)]     (relation classification stand-in)
+* score    = 1.0 / (pos_t - pos_h)          (confidence, thresholded like
+  ``data/EncyclopediaDS/convert.py:27-46``)
+* bag key  = subj || '###' || obj           (``rex/data/transforms/bag_re.py:78``)
+* linking  = surface -> canonical component of the VARIANT_EDGES graph
+  restricted to surfaces present in the corpus; canonical surface = the
+  lexicographic minimum of the component; entity id = 'ent:' || canonical
+* triple store = group by (subj_id, pred, obj_id): max(score), count(*)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+# surface -> entity type. Mixed popularity: 'join'/'hash' are head
+# entities (~1k mentions per 500 docs -> skewed bags), exercising the
+# salting path of the wide aggregations.
+GAZETTEER: Dict[str, str] = {
+    "spark": "SYS",
+    "customer": "ACTOR",
+    "join": "ALGO",
+    "merge": "ALGO",
+    "hash": "ALGO",
+    "scan": "ALGO",
+    "filter": "ALGO",
+    "sort": "ALGO",
+    "order": "ALGO",
+    "table": "OBJ",
+    "row": "OBJ",
+    "line": "OBJ",
+    "column": "OBJ",
+    "vector": "OBJ",
+    "agg": "OP",
+    "group": "OP",
+    "window": "OP",
+}
+
+PAIR_WINDOW = 4
+
+# (head_type, tail_type) -> predicate; missing pairs fall back.
+PRED_MAP: Dict[Tuple[str, str], str] = {
+    ("SYS", "ALGO"): "implements",
+    ("SYS", "OBJ"): "stores",
+    ("SYS", "OP"): "schedules",
+    ("ALGO", "OBJ"): "applies_to",
+    ("OBJ", "ALGO"): "feeds",
+    ("ALGO", "ALGO"): "composed_with",
+    ("OBJ", "OBJ"): "linked_to",
+    ("OP", "OBJ"): "operates_on",
+    ("OBJ", "OP"): "input_of",
+    ("ACTOR", "OBJ"): "owns",
+    ("ACTOR", "ALGO"): "runs",
+}
+PRED_FALLBACK = "related_to"
+
+# Alias / surface-signature graph for canonicalization. Edges are only
+# honored when BOTH endpoints occur as mentions in the corpus; the
+# {agg, group, window} chain needs multi-hop propagation. 'arrange' is
+# intentionally absent from GAZETTEER (never mentioned) so its edge is
+# always filtered out — exercising the presence filter.
+VARIANT_EDGES: List[Tuple[str, str]] = [
+    ("merge", "join"),
+    ("order", "sort"),
+    ("sort", "arrange"),
+    ("line", "row"),
+    ("agg", "group"),
+    ("group", "window"),
+]
+
+ENTITY_ID_PREFIX = "ent:"
+BAG_KEY_SEP = "###"
+
+# Confidence tiers reported by the threshold-filter query, mirroring the
+# reference's .97/.98/.99/.999 tiered exports (EncyclopediaDS/convert.py).
+SCORE_TIERS: List[float] = [0.25, 0.5, 1.0]
+
+# ---------------------------------------------------------------------------
+# Interleaved-document synthesis spec (the `input_hint` Lance shape).
+# documents.parquet row -> one interleaved doc:
+#   * tokens chunked into text spans of size CHUNK = 4 + doc_id % 4
+#   * after every 2nd text span, one media span; the m-th media span
+#     (1-based) has kind 'image' when (doc_id + m) % 2 == 0 else 'audio',
+#     media_ref 'media://{doc_id}/{m}', text ''
+#   * offset = ordinal of the span within the doc (0-based)
+# Invariant: ' '.join(text-span texts) == original document text.
+# ---------------------------------------------------------------------------
+
+def chunk_size(doc_id: int) -> int:
+    return 4 + doc_id % 4
+
+
+def media_kind(doc_id: int, m: int) -> str:
+    return "image" if (doc_id + m) % 2 == 0 else "audio"
+
+
+# ---------------------------------------------------------------------------
+# SQL fragment renderers (DuckDB dialect) — used by the oracle queries.
+# ---------------------------------------------------------------------------
+
+def sql_gazetteer_values() -> str:
+    rows = ", ".join(
+        f"('{s}', '{t}')" for s, t in sorted(GAZETTEER.items())
+    )
+    return f"(VALUES {rows}) AS gaz(surface, ent_type)"
+
+
+def sql_pred_case(head_type: str = "h.ent_type", tail_type: str = "t.ent_type") -> str:
+    whens = "\n        ".join(
+        f"WHEN {head_type} = '{ht}' AND {tail_type} = '{tt}' THEN '{p}'"
+        for (ht, tt), p in sorted(PRED_MAP.items())
+    )
+    return f"CASE\n        {whens}\n        ELSE '{PRED_FALLBACK}' END"
+
+
+def sql_variant_edges_values() -> str:
+    rows = ", ".join(f"('{a}', '{b}')" for a, b in sorted(VARIANT_EDGES))
+    return f"(VALUES {rows}) AS vedge(a, b)"
+
+
+# Tokenization with positions over the documents view (0-based pos),
+# matching pandas .str.split(' ') + cumcount in the Ray stages.
+SQL_TOKENS = """
+    SELECT doc_id, ts[i + 1] AS tok, i AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         LATERAL (SELECT unnest(range(len(ts))) AS i)
+"""
+
+SQL_MENTIONS = f"""
+    SELECT t.doc_id, t.pos, t.tok AS surface, g.ent_type
+    FROM ({SQL_TOKENS}) t
+    JOIN {{gaz}} ON t.tok = gaz.surface
+"""
+
+
+def sql_mentions() -> str:
+    return SQL_MENTIONS.format(gaz=sql_gazetteer_values())

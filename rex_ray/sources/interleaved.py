@@ -1,0 +1,201 @@
+"""Interleaved text+media documents: the engine's primary input shape.
+
+Schema (``BASELINE.json`` ``input_hint``)::
+
+    doc_id: string
+    spans:  list<struct<kind: string, text: string,
+                        media_ref: string, offset: int32>>
+
+Per-row invariant (SURVEY.md §2.9): the span sequence (kind, text,
+media_ref, order) is preserved verbatim by every stage; media payloads
+stay behind ``media_ref`` strings — bytes are never inlined.
+
+At production scale this table is a Lance dataset read via
+``ray.data.read_lance`` (zero-copy Arrow).  Lance is not installed in
+this sandbox, so :func:`read_interleaved` falls back to Parquet with the
+identical schema; the synthesizer below derives the table
+deterministically from ``documents.parquet`` (seeded by ``doc_id``
+arithmetic only — see ``pipelines/spec.py`` for the exact rule, which
+the DuckDB oracle replicates).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rex_ray.pipelines import spec
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+INTERLEAVED_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT))]
+)
+
+
+def doc_id_str(doc_id_int: int) -> str:
+    return f"doc-{doc_id_int:08d}"
+
+
+def doc_id_int_array(doc_id: pa.ChunkedArray) -> pa.Array:
+    """'doc-00000042' -> 42, vectorized."""
+    return pc.cast(pc.utf8_slice_codeunits(doc_id, 4, 99), pa.int64())
+
+
+def synthesize_batch(batch: pa.Table) -> pa.Table:
+    """documents rows (doc_id:int64, text:string) -> interleaved docs.
+
+    Pure Arrow/python construction; runs inside ``map_batches``.  The
+    chunking/media rule lives in ``spec`` and is mirrored by the oracle.
+    """
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_ids: List[str] = []
+    out_spans: List[List[dict]] = []
+    for did, text in zip(doc_ids, texts):
+        tokens = text.split(" ")
+        c = spec.chunk_size(did)
+        spans: List[dict] = []
+        offset = 0
+        n_text = 0
+        n_media = 0
+        for i in range(0, len(tokens), c):
+            spans.append(
+                {
+                    "kind": "text",
+                    "text": " ".join(tokens[i : i + c]),
+                    "media_ref": "",
+                    "offset": offset,
+                }
+            )
+            offset += 1
+            n_text += 1
+            if n_text % 2 == 0:
+                n_media += 1
+                spans.append(
+                    {
+                        "kind": spec.media_kind(did, n_media),
+                        "text": "",
+                        "media_ref": f"media://{did}/{n_media}",
+                        "offset": offset,
+                    }
+                )
+                offset += 1
+        out_ids.append(doc_id_str(did))
+        out_spans.append(spans)
+    return pa.Table.from_pydict(
+        {"doc_id": out_ids, "spans": out_spans}, schema=INTERLEAVED_SCHEMA
+    )
+
+
+def synthesize_interleaved(documents_ds):
+    """Ray Dataset of documents rows -> Dataset of interleaved docs."""
+    return documents_ds.select_columns(["doc_id", "text"]).map_batches(
+        synthesize_batch, batch_format="pyarrow"
+    )
+
+
+def read_interleaved(path: str, **kwargs):
+    """Read an interleaved-doc table: Lance when available, else Parquet
+    (identical schema)."""
+    import ray.data as rd
+
+    try:
+        import lance  # noqa: F401
+
+        return rd.read_lance(path, **kwargs)
+    except ImportError:
+        return rd.read_parquet(path, **kwargs)
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """Flatten interleaved docs to one row per span (doc_id carried),
+    zero-copy where Arrow allows."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()  # struct array
+    # parent doc_id repeated per span
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(batch)), lengths)
+    doc_id = pc.take(batch["doc_id"].combine_chunks(), pa.array(parent))
+    return pa.Table.from_arrays(
+        [
+            doc_id,
+            flat.field("kind"),
+            flat.field("text"),
+            flat.field("media_ref"),
+            flat.field("offset"),
+        ],
+        names=["doc_id", "kind", "text", "media_ref", "offset"],
+    )
+
+
+def validate_span_sequence(batch: pa.Table) -> pa.Table:
+    """Enforce the per-row span-sequence invariant cheaply (Arrow
+    compute): offsets within each doc must be exactly 0..k-1 in order.
+    Raises on violation; passes the batch through untouched otherwise.
+    """
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    offsets = flat.field("offset").to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    expected = np.arange(len(offsets)) - starts
+    if not np.array_equal(offsets, expected):
+        bad = np.nonzero(offsets != expected)[0]
+        doc_idx = np.searchsorted(np.cumsum(lengths), bad[0], side="right")
+        raise ValueError(
+            f"span-sequence invariant violated in doc "
+            f"{batch['doc_id'][int(doc_idx)]}: offsets not consecutive"
+        )
+    return batch
+
+
+def text_view_batch(batch: pa.Table) -> pa.Table:
+    """Normalize: interleaved docs -> (doc_id, text) rows, where text is
+    the space-join of the text spans in order.  Inverse of the
+    synthesizer by construction (round-trip asserted in tests)."""
+    validate_span_sequence(batch)
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+    texts = flat.field("text").to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(batch)), lengths)
+    is_text = kinds == "text"
+    out_texts = []
+    t_parent = parent[is_text]
+    t_texts = texts[is_text]
+    bounds = np.searchsorted(t_parent, np.arange(len(batch) + 1))
+    for i in range(len(batch)):
+        out_texts.append(" ".join(t_texts[bounds[i] : bounds[i + 1]]))
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"].to_pylist(), "text": out_texts}
+    )
+
+
+def text_view(interleaved_ds):
+    return interleaved_ds.map_batches(text_view_batch, batch_format="pyarrow")
+
+
+def media_spans(interleaved_ds):
+    """Dataset of media spans only: (doc_id, kind, media_ref, offset)."""
+    return interleaved_ds.map_batches(
+        lambda b: explode_spans(b).filter(pc.field("kind") != "text"),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "kind", "media_ref", "offset"])

@@ -1,0 +1,120 @@
+"""Wide aggregations: bag reduction and triple-store dedup.
+
+Shuffle-minimization strategy (SURVEY.md §4): every groupby here is
+preceded by a per-batch partial aggregation (combiner) inside
+``map_batches``, so the all-to-all exchange moves one row per
+(key, batch) instead of one row per instance.  With combiners, skewed
+keys ("join###hash"-style head-entity bags following the corpus Zipf)
+are bounded at the final stage by #batches, not by bag size — the
+partial-agg is the salting: hot keys are split across batches
+naturally and merged associatively.  Non-mergeable per-group logic
+(bag-label argmax) runs AFTER the combiner, over the already-small
+partials.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+
+from ray.data.aggregate import Max, Sum
+
+
+def _partial_counts_max(
+    keys: List[str], score_col: str = "score"
+):
+    """Combiner factory: per-batch groupby(keys) -> (cnt, max score)."""
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True)[score_col].agg(
+            ["count", "max"]
+        )
+        out = g.reset_index()
+        out = out.rename(columns={"count": "cnt", "max": "max_score"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    return combine
+
+
+def aggregate_bags(triples_ds):
+    """Bag (distant-supervision) reduction keyed ``pair_key``
+    (reference ``rex/data/transforms/bag_re.py:78-108`` +
+    ``rex/models/bag_pcnn.py:60-88`` ONE-style reduce).
+
+    Output per bag: pair_key, bag_label (modal predicate, ties ->
+    lexicographically smallest), n_instances, max_score.
+    """
+    partial = triples_ds.map_batches(
+        _partial_counts_max(["pair_key", "pred"]), batch_format="pandas"
+    )
+    merged = partial.groupby(["pair_key", "pred"]).aggregate(
+        Sum("cnt", alias_name="cnt"),
+        Max("max_score", alias_name="max_score"),
+    )
+
+    def bag_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "pred"], ascending=[False, True])
+        top = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "pair_key": [top["pair_key"]],
+                "bag_label": [top["pred"]],
+                "n_instances": [int(g["cnt"].sum())],
+                "max_score": [float(g["max_score"].max())],
+            }
+        )
+
+    return merged.groupby("pair_key").map_groups(
+        bag_reduce, batch_format="pandas"
+    )
+
+
+def dedup_triple_store(linked_triples_ds):
+    """Final triple-store dedup: group (subj_id, pred, obj_id) ->
+    max(score) AS score, count(*) AS support.  Partial-aggregated per
+    batch, then one small shuffle (SURVEY.md §2.7 'new-engine only')."""
+    partial = linked_triples_ds.map_batches(
+        _partial_counts_max(["subj_id", "pred", "obj_id"]),
+        batch_format="pandas",
+    )
+    out = partial.groupby(["subj_id", "pred", "obj_id"]).aggregate(
+        Max("max_score", alias_name="score"),
+        Sum("cnt", alias_name="support"),
+    )
+    return out
+
+
+def score_tier_counts(triples_ds, tiers):
+    """Tiered threshold counts (reference
+    ``data/EncyclopediaDS/convert.py:27-46``'s .97/.98/.99 exports):
+    per tier, number of triples with score >= tier and distinct
+    predicate count — computed in ONE pass via a per-batch combiner
+    over (tier, pred) instead of one filtered scan per tier."""
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t in tiers:
+            sel = batch[batch["score"] >= t]
+            if len(sel):
+                g = sel.groupby("pred", sort=False).size()
+                for pred, n in g.items():
+                    rows.append((float(t), pred, int(n)))
+        return pd.DataFrame(rows, columns=["tier", "pred", "n"])
+
+    partial = triples_ds.map_batches(combine, batch_format="pandas")
+    merged = partial.groupby(["tier", "pred"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tier": [float(g["tier"].iloc[0])],
+                "n_triples": [int(g["n"].sum())],
+                "n_predicates": [int(g["pred"].nunique())],
+            }
+        )
+
+    return merged.groupby("tier").map_groups(finalize, batch_format="pandas")

@@ -1,0 +1,142 @@
+"""Entity canonicalization: connected components over the surface-form
+signature graph (SURVEY.md §7.1 step 9, north_star requirement).
+
+Two execution paths behind one API:
+
+* ``cc_local`` — union-find on the driver.  Correct choice when the
+  node inventory is provably small (an alias dictionary is broadcast
+  state, not a dataset); used by the flagship pipeline whose gazetteer
+  has tens of surfaces.
+* ``cc_label_propagation`` — the scale path: iterative min-label
+  propagation expressed as Ray Data joins + groupby-min until fixpoint,
+  for signature graphs too large to hold on one node (e.g. components
+  over LSH-candidate edges at 10^12-doc scale).  Each round is two
+  shuffles; rounds are bounded by the graph diameter (and ``max_iter``
+  guards the giant-component pathology, SURVEY.md §7.3).
+
+Both produce the same mapping: node -> lexicographically-smallest node
+of its component (asserted equal on random graphs in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import pandas as pd
+
+from ray.data.aggregate import Min
+
+
+def cc_local(
+    nodes: Iterable[str], edges: Iterable[Tuple[str, str]]
+) -> Dict[str, str]:
+    """Union-find; canonical = min label of the component."""
+    parent: Dict[str, str] = {n: n for n in nodes}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by label order keeps the min as root
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
+def cc_label_propagation(nodes_ds, edges_ds, max_iter: int = 20):
+    """Distributed min-label propagation.
+
+    nodes_ds: Dataset with column ``node``;
+    edges_ds: Dataset with columns ``a``, ``b`` (undirected).
+    Returns a Dataset (node, canonical).
+
+    Round: every node sends its current label across its edges (both
+    directions) plus to itself; new label = min received.  Converges in
+    O(diameter) rounds; each round materializes the (small) label table
+    so the lazy plan doesn't grow unboundedly across iterations.
+    """
+    import ray.data  # noqa: F401  (Dataset methods used below)
+
+    # undirected -> both directions, built once and materialized (reused
+    # every round)
+    both = edges_ds.map_batches(
+        lambda b: pd.concat(
+            [
+                b.rename(columns={"a": "src", "b": "dst"}),
+                b.rename(columns={"a": "dst", "b": "src"})[["src", "dst"]],
+            ],
+            ignore_index=True,
+        )[["src", "dst"]],
+        batch_format="pandas",
+    ).materialize()
+
+    labels = nodes_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["node"], "canonical": b["node"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(max_iter):
+        # label of src flows to dst
+        msgs = both.join(
+            labels.map_batches(
+                lambda b: b.rename(columns={"node": "src"}),
+                batch_format="pandas",
+            ),
+            join_type="inner",
+            on=("src",),
+            num_partitions=max(2, both.num_blocks()),
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["dst"], "canonical": b["canonical"]}
+            ),
+            batch_format="pandas",
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("canonical", alias_name="canonical"))
+            .materialize()
+        )
+        # fixpoint check: any label changed?
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda b: b.rename(columns={"canonical": "old"}),
+                    batch_format="pandas",
+                ),
+                join_type="inner",
+                on=("node",),
+                num_partitions=2,
+            )
+            .filter(lambda row: row["canonical"] != row["old"])
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map_for_surfaces(
+    surfaces: Sequence[str],
+    variant_edges: Sequence[Tuple[str, str]],
+    prefix: str,
+) -> Dict[str, str]:
+    """surface -> canonical entity id ('<prefix><min-surface>'), edges
+    restricted to surfaces actually present (driver-side small state,
+    broadcast into the linking stage)."""
+    present = set(surfaces)
+    edges = [(a, b) for a, b in variant_edges if a in present and b in present]
+    cc = cc_local(sorted(present), edges)
+    return {s: prefix + c for s, c in cc.items()}

@@ -1,0 +1,151 @@
+"""Mention detection and triple extraction stages.
+
+Reference shape: gazetteer NER (mention flat-map, like the tag-decode
+path of ``rex/utils/tagging.py`` feeding ``rex/data/transforms/
+sent_re.py:31-63``'s entity-pair fan-out with a validity window), then a
+deterministic relation rule + distance-based confidence standing in for
+the PCNN scorer (the learned scorer lives in ``stages/scorer.py``).
+
+Both stages are callable CLASSES: the gazetteer/regex state is compiled
+once per actor in ``__init__`` (actor pool), per-batch work is
+vectorized pandas/numpy.  Mention+pair extraction is FUSED into one
+stage for the pipeline path: a document's mentions never cross a batch
+boundary, so the pair fan-out needs no shuffle and no doc reassembly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from rex_ray.pipelines import spec
+
+
+def _explode_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) -> one row per token with its 0-based position.
+    Vectorized: split + explode + cumcount."""
+    toks = batch["text"].str.split(" ")
+    ex = pd.DataFrame(
+        {"doc_id": batch["doc_id"], "tok": toks}
+    ).explode("tok", ignore_index=False)
+    ex["pos"] = ex.groupby(level=0).cumcount()
+    return ex.reset_index(drop=True)
+
+
+class MentionExtractor:
+    """Gazetteer mention detector: token == surface -> mention row
+    (doc_id, pos, surface, ent_type), span = [pos, pos+1)."""
+
+    def __init__(self, gazetteer: Optional[Dict[str, str]] = None):
+        gaz = gazetteer if gazetteer is not None else spec.GAZETTEER
+        self._gaz = pd.Series(gaz, name="ent_type")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(batch)
+        hit = ex[ex["tok"].isin(self._gaz.index)].rename(
+            columns={"tok": "surface"}
+        )
+        out = hit.assign(ent_type=hit["surface"].map(self._gaz))
+        out["pos"] = out["pos"].astype("int64")
+        return out[["doc_id", "pos", "surface", "ent_type"]].reset_index(
+            drop=True
+        )
+
+
+class TripleExtractor:
+    """Fused mention + windowed pair fan-out + relation rule + score.
+
+    Emits one scored triple per ordered mention pair (h, t) in the same
+    document with ``1 <= pos_t - pos_h <= window``:
+        (doc_id, subj, subj_pos, subj_type, pred, obj, obj_pos,
+         obj_type, pair_key, score)
+    The pair merge is a per-distance hash join on (row-local doc index,
+    pos) — vectorized, no Python loop over rows.
+    """
+
+    def __init__(
+        self,
+        gazetteer: Optional[Dict[str, str]] = None,
+        window: int = spec.PAIR_WINDOW,
+        pred_map: Optional[Dict[Tuple[str, str], str]] = None,
+        min_score: float = 0.0,
+    ):
+        self._mentions = MentionExtractor(gazetteer)
+        self.window = window
+        pm = pred_map if pred_map is not None else spec.PRED_MAP
+        self._pred = {f"{h}|{t}": p for (h, t), p in pm.items()}
+        self.min_score = min_score
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = self._mentions(batch)
+        parts = []
+        for d in range(1, self.window + 1):
+            right = m.rename(
+                columns={
+                    "pos": "obj_pos",
+                    "surface": "obj",
+                    "ent_type": "obj_type",
+                }
+            )
+            right = right.assign(pos=right["obj_pos"] - d)
+            j = m.merge(right, on=["doc_id", "pos"], how="inner")
+            if len(j):
+                j = j.rename(
+                    columns={
+                        "pos": "subj_pos",
+                        "surface": "subj",
+                        "ent_type": "subj_type",
+                    }
+                )
+                j["score"] = 1.0 / d
+                parts.append(j)
+        if not parts:
+            return _EMPTY_TRIPLES.copy()
+        out = pd.concat(parts, ignore_index=True)
+        type_key = out["subj_type"] + "|" + out["obj_type"]
+        out["pred"] = type_key.map(self._pred).fillna(spec.PRED_FALLBACK)
+        out["pair_key"] = out["subj"] + spec.BAG_KEY_SEP + out["obj"]
+        if self.min_score > 0.0:
+            out = out[out["score"] >= self.min_score]
+        out["subj_pos"] = out["subj_pos"].astype("int64")
+        out["obj_pos"] = out["obj_pos"].astype("int64")
+        return out[list(_EMPTY_TRIPLES.columns)].reset_index(drop=True)
+
+
+_EMPTY_TRIPLES = pd.DataFrame(
+    {
+        "doc_id": pd.Series(dtype="object"),
+        "subj": pd.Series(dtype="object"),
+        "subj_pos": pd.Series(dtype="int64"),
+        "subj_type": pd.Series(dtype="object"),
+        "pred": pd.Series(dtype="object"),
+        "obj": pd.Series(dtype="object"),
+        "obj_pos": pd.Series(dtype="int64"),
+        "obj_type": pd.Series(dtype="object"),
+        "pair_key": pd.Series(dtype="object"),
+        "score": pd.Series(dtype="float64"),
+    }
+)
+
+
+def extract_mentions(docs_ds, **kwargs):
+    """documents Dataset (doc_id, text) -> mentions Dataset."""
+    return docs_ds.map_batches(
+        MentionExtractor,
+        batch_format="pandas",
+        concurrency=kwargs.pop("concurrency", (1, 8)),
+        **kwargs,
+    )
+
+
+def extract_triples(docs_ds, min_score: float = 0.0, **kwargs):
+    """documents Dataset (doc_id, text) -> scored candidate triples."""
+    return docs_ds.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={"min_score": min_score},
+        batch_format="pandas",
+        concurrency=kwargs.pop("concurrency", (1, 8)),
+        **kwargs,
+    )

@@ -1,0 +1,77 @@
+"""Interleaved-doc synthesis, span-sequence invariant, text-view
+round-trip."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rex_ray.sources import interleaved as il
+
+
+def _docs_table():
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 7], type=pa.int64()),
+            "text": [
+                "a b c d e f g h i j",
+                "x y z",
+                " ".join(f"t{i}" for i in range(23)),
+            ],
+        }
+    )
+
+
+def test_round_trip_text_view():
+    inter = il.synthesize_batch(_docs_table())
+    back = il.text_view_batch(inter)
+    assert back["doc_id"].to_pylist() == [
+        "doc-00000000", "doc-00000001", "doc-00000007",
+    ]
+    assert back["text"].to_pylist() == _docs_table()["text"].to_pylist()
+
+
+def test_span_sequence_offsets_and_media():
+    inter = il.synthesize_batch(_docs_table())
+    spans = inter["spans"].to_pylist()
+    for row in spans:
+        # offsets are 0..k-1 in order (the per-row invariant)
+        assert [s["offset"] for s in row] == list(range(len(row)))
+        for s in row:
+            if s["kind"] == "text":
+                assert s["media_ref"] == "" and s["text"] != ""
+            else:
+                assert s["kind"] in ("image", "audio")
+                assert s["text"] == "" and s["media_ref"].startswith("media://")
+    # doc 0: chunk=4, 10 tokens -> 3 text spans -> 1 media span,
+    # kind = media_kind(0, 1) = audio ((0+1) % 2 != 0)
+    kinds0 = [s["kind"] for s in spans[0]]
+    assert kinds0 == ["text", "text", "audio", "text"]
+    # doc 1: chunk=5, 3 tokens -> 1 text span, no media
+    assert [s["kind"] for s in spans[1]] == ["text"]
+
+
+def test_validate_span_sequence_raises_on_reorder():
+    inter = il.synthesize_batch(_docs_table())
+    rows = inter["spans"].to_pylist()
+    rows[0][0], rows[0][1] = rows[0][1], rows[0][0]  # swap two spans
+    bad = pa.Table.from_pydict(
+        {"doc_id": inter["doc_id"].to_pylist(), "spans": rows},
+        schema=il.INTERLEAVED_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="span-sequence invariant"):
+        il.validate_span_sequence(bad)
+
+
+def test_explode_spans_carries_doc_id():
+    inter = il.synthesize_batch(_docs_table())
+    flat = il.explode_spans(inter)
+    n_spans = sum(len(r) for r in inter["spans"].to_pylist())
+    assert flat.num_rows == n_spans
+    assert set(flat.column_names) == {
+        "doc_id", "kind", "text", "media_ref", "offset",
+    }
+
+
+def test_doc_id_int_array():
+    arr = pa.chunked_array([["doc-00000042", "doc-00012345"]])
+    assert il.doc_id_int_array(arr).to_pylist() == [42, 12345]

@@ -1,0 +1,67 @@
+"""End-to-end flagship pipeline + oracle parity smoke at sf0.001."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["documents"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = res.to_pandas()
+    assert len(df) > 0
+    assert set(df.columns) == {"subj_id", "pred", "obj_id", "score", "support"}
+    assert (df["support"] >= 1).all()
+    assert df["score"].between(0, 1).all()
+    # dedup really deduped
+    assert not df.duplicated(["subj_id", "pred", "obj_id"]).any()
+
+
+def test_triple_store_matches_oracle(ray_session, con):
+    from rex_ray.pipelines.queries import oracle_sql, queries
+
+    got = _norm(queries()["kg_triple_store"](SF).to_pandas())
+    want = _norm(con.sql(oracle_sql()["kg_triple_store"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_interleaved_path_equals_direct_path(ray_session):
+    from rex_ray.pipelines.queries import queries
+
+    direct = _norm(queries()["kg_triple_store"](SF).to_pandas())
+    inter = _norm(queries()["kg_triple_store_interleaved"](SF).to_pandas())
+    pd.testing.assert_frame_equal(direct, inter)
+
+
+def test_parity_prf1_self(ray_session):
+    """Triple-match metric (reference rex/metrics/triple.py semantics):
+    the pipeline vs the oracle extraction must score P/R/F1 = 1.0."""
+    from rex_ray.functions import measure_triples
+    from rex_ray.pipelines.queries import queries
+
+    df = queries()["kg_triples"](SF).to_pandas()
+    by_doc = {
+        k: list(zip(g.subj, g.pred, g.obj))
+        for k, g in df.groupby("doc_id")
+    }
+    m = measure_triples(by_doc.values(), by_doc.values())
+    assert m["triple"]["f1"] == 1.0

@@ -1,0 +1,113 @@
+"""Stage-level unit tests (batch bodies, no Ray needed) plus the
+canonicalization equivalence check."""
+
+import numpy as np
+import pandas as pd
+
+from rex_ray.pipelines import spec
+from rex_ray.stages import canonical
+from rex_ray.stages.extract import MentionExtractor, TripleExtractor
+from rex_ray.stages.link import CanonicalLinker, hashed_embedding
+
+
+def _batch():
+    return pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the join uses hash and table",
+                "spark join merge",
+            ],
+        }
+    )
+
+
+def test_mention_extractor():
+    m = MentionExtractor()(_batch())
+    got = list(zip(m.doc_id, m.pos, m.surface, m.ent_type))
+    assert (1, 1, "join", "ALGO") in got
+    assert (1, 3, "hash", "ALGO") in got
+    assert (2, 0, "spark", "SYS") in got
+    assert all(s in spec.GAZETTEER for s in m.surface)
+
+
+def test_triple_extractor_window_and_pred():
+    t = TripleExtractor()(_batch())
+    rows = {
+        (r.doc_id, r.subj, r.pred, r.obj, r.score)
+        for r in t.itertuples()
+    }
+    # join -> hash at distance 2 (composed_with), score 0.5
+    assert (1, "join", "composed_with", "hash", 0.5) in rows
+    # join -> table at distance 4
+    assert (1, "join", "applies_to", "table", 0.25) in rows
+    # hash -> table distance 2
+    assert (1, "hash", "applies_to", "table", 0.5) in rows
+    # spark -> join distance 1
+    assert (2, "spark", "implements", "join", 1.0) in rows
+    # no pair beyond the window
+    assert not any(
+        r.obj_pos - r.subj_pos > spec.PAIR_WINDOW for r in t.itertuples()
+    )
+    assert (t.pair_key == t.subj + "###" + t.obj).all()
+
+
+def test_triple_extractor_empty():
+    t = TripleExtractor()(pd.DataFrame({"doc_id": [9], "text": ["nothing here"]}))
+    assert len(t) == 0
+    assert "pair_key" in t.columns
+
+
+def test_cc_local():
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [("a", "b"), ("b", "c"), ("d", "e")]
+    cc = canonical.cc_local(nodes, edges)
+    assert cc == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_cc_label_propagation_matches_local(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = [
+        (nodes[rng.randint(40)], nodes[rng.randint(40)]) for _ in range(30)
+    ]
+    local = canonical.cc_local(nodes, edges)
+    nodes_ds = rd.from_pandas(pd.DataFrame({"node": nodes}))
+    edges_ds = rd.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    dist = canonical.cc_label_propagation(nodes_ds, edges_ds)
+    got = {
+        r["node"]: r["canonical"] for r in dist.to_pandas().to_dict("records")
+    }
+    assert got == local
+
+
+def test_canonical_map_filters_absent_surfaces():
+    cm = canonical.canonical_map_for_surfaces(
+        ["sort", "order", "join"], spec.VARIANT_EDGES, "ent:"
+    )
+    # order~sort merge; 'arrange' edge ignored (absent); join alone
+    assert cm == {"sort": "ent:order", "order": "ent:order", "join": "ent:join"}
+
+
+def test_linker_nil_handling():
+    linker = CanonicalLinker({"join": "ent:join"})
+    out = linker(
+        pd.DataFrame(
+            {
+                "subj": ["join", "zzz"],
+                "obj": ["zzz", "join"],
+                "pred": ["p", "p"],
+            }
+        )
+    )
+    assert out.subj_id.tolist() == ["ent:join", "nil:zzz"]
+    assert out.obj_id.tolist() == ["nil:zzz", "ent:join"]
+
+
+def test_hashed_embedding_deterministic_unit():
+    a = hashed_embedding(["alpha", "beta"])
+    b = hashed_embedding(["alpha", "beta"])
+    assert np.allclose(a, b)
+    assert abs(np.linalg.norm(a) - 1.0) < 1e-12

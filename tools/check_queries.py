@@ -1,0 +1,122 @@
+"""Local stand-in for the driver's correctness gate: run each registry
+query on Ray AND its DuckDB oracle, compare row count + sorted-column
+value frames.  Usage:  python tools/check_queries.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import ray.data as rd
+    import pyarrow as pa
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    # canonical sort over all columns for order-insensitive compare
+    df = df.sort_values(list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> list:
+    problems = []
+    if sorted(a.columns) != sorted(b.columns):
+        problems.append(f"columns differ: {sorted(a.columns)} vs {sorted(b.columns)}")
+        return problems
+    if len(a) != len(b):
+        problems.append(f"row count differs: {len(a)} vs {len(b)}")
+        return problems
+    a, b = normalize(a), normalize(b)
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(
+            bv.dtype, np.floating
+        ):
+            ok = np.allclose(
+                av.astype(np.float64), bv.astype(np.float64), rtol=1e-12, atol=1e-12
+            )
+        else:
+            ok = (av.astype(object) == bv.astype(object)).all()
+        if not ok:
+            mism = np.nonzero(av != bv)[0][:3]
+            problems.append(
+                f"col {col} mismatch at rows {mism.tolist()}: "
+                f"{[(av[i], bv[i]) for i in mism.tolist()]}"
+            )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from rex_ray.pipelines.queries import oracle_sql, queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, sqls = queries(), oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = normalize(to_pandas(fn(sf_dir)))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: ray error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in sqls:
+            print(f"ok?  {name}: rows-only check, {len(got)} rows")
+            continue
+        try:
+            want = normalize(con.sql(sqls[name]).df())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        problems = compare(got, want, name)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+            print("  ray  head:", got.head(3).to_dict("records"))
+            print("  want head:", want.head(3).to_dict("records"))
+        else:
+            print(f"PASS {name}: {len(got)} rows")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
