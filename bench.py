@@ -1,0 +1,145 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS or
+32)`` and print ONE JSON line::
+
+    {"metric": "kg_flagship_e2e", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "triples_per_sec": ...}
+
+``--scaling``: run the same bench in two FRESH processes at
+num_cpus=8 and num_cpus=32 (the sandbox substitute for N vs 4N
+cluster sizes, BASELINE.md protocol) and print both plus
+``scaling_efficiency = (t_8 / t_32) / 4``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# representative per-operator-family pipelines timed alongside the headline
+BENCH_QUERIES = [
+    "kg_triple_store_interleaved",   # headline: full flagship
+    "kg_bags",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "events_hourly",
+    "ta_word_freq",
+    "dd_exact_groups",
+    "dd_minhash_pairs",
+    "ann_topk",
+    "mm_decode_features",
+]
+HEADLINE = "kg_triple_store_interleaved"
+
+
+def _warm_page_cache(sf_dir: str) -> None:
+    for name in os.listdir(sf_dir):
+        if name.endswith(".parquet"):
+            with open(os.path.join(sf_dir, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
+def _consume(res) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return 0
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rex_ray.pipelines.queries import queries
+
+    qs = queries()
+    _warm_page_cache(SF_DIR)
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+
+    per_query = {}
+    n_triples = 0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        rows = _consume(qs[name](SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        if name == HEADLINE:
+            n_triples = rows
+
+    headline_sec = per_query[HEADLINE]
+    result = {
+        "metric": "kg_flagship_e2e",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": round(n_docs / headline_sec, 1),
+        "triple_store_rows": n_triples,
+        "total_sec": round(sum(per_query.values()), 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["total_sec"], hi["total_sec"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": t_lo,
+        "sec_32cpu": t_hi,
+        "headline_sec_8cpu": lo["value"],
+        "headline_sec_32cpu": hi["value"],
+        "docs_per_sec_8cpu": lo["docs_per_sec"],
+        "docs_per_sec_32cpu": hi["docs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -290,8 +290,16 @@ QUERIES: Dict[str, Callable] = {
 
 
 def queries() -> Dict[str, Callable]:
-    return dict(QUERIES)
+    from rex_ray.pipelines.queries_ext import EXT_QUERIES
+
+    out = dict(QUERIES)
+    out.update(EXT_QUERIES)
+    return out
 
 
 def oracle_sql() -> Dict[str, str]:
-    return dict(_SQL)
+    from rex_ray.pipelines.queries_ext import EXT_SQL
+
+    out = dict(_SQL)
+    out.update(EXT_SQL)
+    return out

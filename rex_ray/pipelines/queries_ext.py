@@ -1,0 +1,558 @@
+"""Extended query registry: relational operators over the TPC-H-ish
+tables, text analysis, the dedup family, similarity search, and the
+multimodal stub pipeline.  Merged into the driver registry by
+``pipelines/queries.py``.
+
+Float policy for oracle-checked queries: per-row float math uses the
+identical operation order as the SQL (bit-identical IEEE results);
+aggregates over floats are restricted to order-insensitive forms
+(min/max, sums of integral-valued doubles, integer-cent sums) so
+results hash-match exactly regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+
+from rex_ray.pipelines.queries import _read  # shared reader
+
+Q1_CUTOFF = "1998-09-02"
+EVENTS_WINDOW_US = 3_600_000_000  # 1 hour
+ANN_NUM_QUERIES = 10
+ANN_K = 5
+EMB_DUP_THRESHOLD = 0.45
+MINHASH_JACCARD = 0.9
+
+
+def _cents(values) -> np.ndarray:
+    # mirror of SQL CAST(floor(x * 100.0 + 0.5) AS BIGINT)
+    return np.floor(np.asarray(values, dtype=np.float64) * 100.0 + 0.5).astype(
+        np.int64
+    )
+
+
+# --------------------------------------------------------------------------
+# relational
+# --------------------------------------------------------------------------
+
+def q_q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan -> partial aggregate -> small
+    groupby (reference analog: the metric-style grouped aggregation of
+    SURVEY.md §2.5)."""
+    from rex_ray.stages.relational import partial_groupby_sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_shipdate",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp(Q1_CUTOFF)]
+        ext = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        tax = df["l_tax"].to_numpy()
+        disc_price = ext * (1.0 - disc)
+        charge = disc_price * (1.0 + tax)
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["l_quantity"],
+                "sum_base_cents": _cents(ext),
+                "sum_disc_cents": _cents(disc_price),
+                "sum_charge_cents": _cents(charge),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return partial_groupby_sum(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": "sum_qty",
+            "sum_base_cents": "sum_base_cents",
+            "sum_disc_cents": "sum_disc_cents",
+            "sum_charge_cents": "sum_charge_cents",
+        },
+        counts="n_rows",
+    )
+
+
+def _custkey_to_nation(sf_dir: str) -> Dict[int, str]:
+    """Small-side dimension chain customer -> nation -> name, built on
+    the driver (broadcast once)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nkey2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    return {
+        int(ck): nkey2name[nk]
+        for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Large-large hash join (lineitem x orders on orderkey) + broadcast
+    dimension lookup (custkey -> nation) + partial-agg groupby."""
+    from rex_ray.stages.relational import broadcast_join, partial_groupby_sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "rev_cents": _cents(
+                    df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = li.join(  # large-large hash-partitioned shuffle join
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    named = broadcast_join(
+        joined, _custkey_to_nation(sf_dir), key="o_custkey", out="n_name"
+    )
+    return partial_groupby_sum(
+        named, ["n_name"], {"rev_cents": "revenue_cents"}, counts="n_items"
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Pre-aggregate -> global sort (revenue desc, custkey asc) ->
+    limit 10 -> broadcast name lookup."""
+    from rex_ray.stages.relational import broadcast_join, partial_groupby_sum
+
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    prepped = orders.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "rev_cents": _cents(df["o_totalprice"].to_numpy()),
+            }
+        ),
+        batch_format="pandas",
+    )
+    agg = partial_groupby_sum(
+        prepped, ["o_custkey"], {"rev_cents": "revenue_cents"}
+    )
+    top = agg.sort(
+        ["revenue_cents", "o_custkey"], descending=[True, False]
+    ).limit(10)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    return broadcast_join(
+        top,
+        dict(zip(cust["c_custkey"].astype(int), cust["c_name"])),
+        key="o_custkey",
+        out="c_name",
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream: key =
+    (user_id, hour bucket), implemented as a partial-agg groupby — no
+    ordering assumption needed for tumbling windows."""
+    from rex_ray.stages.relational import partial_groupby_sum
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "hour_bucket": us // EVENTS_WINDOW_US,
+                "value_cents": _cents(df["value"].to_numpy()),
+            }
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pandas")
+    return partial_groupby_sum(
+        prepped,
+        ["user_id", "hour_bucket"],
+        {"value_cents": "sum_value_cents"},
+        counts="n_events",
+    )
+
+
+def q_events_type_stats(sf_dir: str):
+    """Per-event-type min/max/count (order-insensitive float aggs)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["value"].agg(
+            ["min", "max", "size"]
+        )
+        g.columns = ["min_value", "max_value", "n_events"]
+        g["n_events"] = g["n_events"].astype("int64")
+        return g.reset_index()
+
+    partial = ev.map_batches(combine, batch_format="pandas")
+    return partial.groupby("event_type").aggregate(
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_ta_doc_stats(sf_dir: str):
+    from rex_ray.stages.textstats import DocStats
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        DocStats, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+def q_ta_langid_confusion(sf_dir: str):
+    from rex_ray.stages.textstats import langid_confusion
+
+    return langid_confusion(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    )
+
+
+def q_ta_quality(sf_dir: str):
+    from rex_ray.stages.textstats import QualityScore
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        QualityScore, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+def q_ta_word_freq(sf_dir: str):
+    from rex_ray.stages.textstats import word_frequency
+
+    return word_frequency(_read(sf_dir, "documents", columns=["text"]))
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def q_dd_exact_groups(sf_dir: str):
+    from rex_ray.stages.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_dd_minhash_pairs(sf_dir: str):
+    from rex_ray.stages.dedup import minhash_dup_pairs
+
+    return minhash_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=MINHASH_JACCARD,
+    )
+
+
+def q_dd_simhash(sf_dir: str):
+    from rex_ray.stages.dedup import simhash_table
+
+    return simhash_table(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_dd_embedding_pairs(sf_dir: str):
+    from rex_ray.stages.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=EMB_DUP_THRESHOLD,
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    from rex_ray.stages.similarity import brute_force_topk
+
+    return brute_force_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        query_ids=range(ANN_NUM_QUERIES),
+        k=ANN_K,
+    )
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """Approximate IVF variant — recall < 1 by design (rows-only
+    check; recall vs brute force asserted in tests)."""
+    from rex_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        query_ids=range(ANN_NUM_QUERIES),
+        k=ANN_K,
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+def q_mm_decode_features(sf_dir: str):
+    from rex_ray.sources import interleaved as il
+    from rex_ray.stages.multimodal import media_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    inter = il.synthesize_interleaved(docs)
+    return media_features(il.media_spans(inter).drop_columns(["offset"]))
+
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+_CENTS = "CAST(floor({expr} * 100.0 + 0.5) AS BIGINT)"
+
+EXT_SQL: Dict[str, str] = {}
+
+EXT_SQL["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum({_CENTS.format(expr='l_extendedprice')}) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum({_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)')})
+           AS BIGINT) AS sum_disc_cents,
+       CAST(sum({_CENTS.format(
+           expr='l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')})
+           AS BIGINT) AS sum_charge_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+EXT_SQL["revenue_by_nation"] = f"""
+SELECT n.n_name,
+       CAST(sum({_CENTS.format(expr='l.l_extendedprice * (1.0 - l.l_discount)')})
+           AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+EXT_SQL["top_customers"] = f"""
+SELECT o_custkey, c_name, revenue_cents
+FROM (
+    SELECT o_custkey,
+           CAST(sum({_CENTS.format(expr='o_totalprice')}) AS BIGINT)
+               AS revenue_cents
+    FROM orders GROUP BY o_custkey
+) r JOIN customer ON c_custkey = o_custkey
+ORDER BY revenue_cents DESC, o_custkey ASC
+LIMIT 10
+"""
+
+EXT_SQL["events_hourly"] = f"""
+SELECT user_id,
+       epoch_us(ts) // {EVENTS_WINDOW_US} AS hour_bucket,
+       CAST(sum({_CENTS.format(expr='value')}) AS BIGINT) AS sum_value_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+EXT_SQL["events_type_stats"] = """
+SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+EXT_SQL["ta_doc_stats"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS fingerprint
+FROM documents
+"""
+
+from rex_ray.functions.text import LANG_STOPWORDS, QUALITY_STOPWORDS  # noqa: E402
+
+_HITS = {
+    code: "len(list_filter(string_split(text, ' '), x -> x IN ({})))".format(
+        ", ".join(f"'{w}'" for w in words)
+    )
+    for code, words in sorted(LANG_STOPWORDS.items())
+}
+
+EXT_SQL["ta_langid_confusion"] = f"""
+WITH hits AS (
+    SELECT doc_id, lang,
+           {_HITS['de']} AS h_de, {_HITS['en']} AS h_en,
+           {_HITS['es']} AS h_es, {_HITS['fr']} AS h_fr
+    FROM documents
+),
+pred AS (
+    SELECT lang,
+           CASE
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM hits
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, pred_lang
+"""
+
+_Q_STOP = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+EXT_SQL["ta_quality"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS ts,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ({_Q_STOP}))) AS BIGINT) AS stop_hits
+    FROM documents
+),
+ratios AS (
+    SELECT doc_id, n_tokens,
+           CAST(len(list_distinct(ts)) AS DOUBLE) / n_tokens
+               AS distinct_ratio,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio
+    FROM base
+)
+SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
+       0.5 * least(1.0, n_tokens / 64.0)
+       + 0.3 * distinct_ratio
+       + 0.2 * least(1.0, 5.0 * stopword_ratio) AS quality_score
+FROM ratios
+"""
+
+EXT_SQL["ta_word_freq"] = """
+SELECT u.token, CAST(count(*) AS BIGINT) AS n
+FROM documents, unnest(string_split(text, ' ')) AS u(token)
+GROUP BY u.token
+"""
+
+_NORM_TEXT = (
+    "array_to_string(list_filter(string_split(text, ' '), "
+    "x -> x != 'dup'), ' ')"
+)
+
+EXT_SQL["dd_exact_groups"] = f"""
+SELECT min(doc_id) AS survivor_doc_id, CAST(count(*) AS BIGINT) AS group_size
+FROM (SELECT doc_id, {_NORM_TEXT} AS k FROM documents)
+GROUP BY k
+"""
+
+_SHINGLES = f"""
+    SELECT doc_id,
+           CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                ELSE list_distinct(list_transform(
+                    range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+           END AS sh
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != 'dup') AS ts
+          FROM documents)
+"""
+
+EXT_SQL["dd_minhash_pairs"] = f"""
+WITH sh AS ({_SHINGLES})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {MINHASH_JACCARD}
+"""
+
+EXT_SQL["dd_embedding_pairs"] = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {EMB_DUP_THRESHOLD}
+"""
+
+EXT_SQL["ann_topk"] = f"""
+WITH sims AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_cosine_similarity(q.embedding::DOUBLE[],
+                                  n.embedding::DOUBLE[]) AS sim
+    FROM embeddings q
+    JOIN embeddings n ON n.vec_id != q.vec_id
+    WHERE q.vec_id < {ANN_NUM_QUERIES}
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {ANN_K}
+"""
+
+EXT_SQL["mm_decode_features"] = """
+WITH stats AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n, 4 + doc_id % 4 AS c
+    FROM documents
+),
+m AS (SELECT doc_id, ((n + c - 1) // c) // 2 AS mcount FROM stats),
+media AS (
+    SELECT doc_id, i + 1 AS mi
+    FROM m, LATERAL (SELECT unnest(range(mcount)) AS i)
+)
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       'media://' || doc_id || '/' || mi AS media_ref,
+       CASE WHEN (doc_id + mi) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       md5('media://' || doc_id || '/' || mi) AS feat_hash
+FROM media
+"""
+
+
+EXT_QUERIES: Dict[str, Callable] = {
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+    "events_type_stats": q_events_type_stats,
+    "ta_doc_stats": q_ta_doc_stats,
+    "ta_langid_confusion": q_ta_langid_confusion,
+    "ta_quality": q_ta_quality,
+    "ta_word_freq": q_ta_word_freq,
+    "dd_exact_groups": q_dd_exact_groups,
+    "dd_minhash_pairs": q_dd_minhash_pairs,
+    "dd_simhash": q_dd_simhash,            # rows-only (no SQL form)
+    "dd_embedding_pairs": q_dd_embedding_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
+    "mm_decode_features": q_mm_decode_features,
+}

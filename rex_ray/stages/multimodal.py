@@ -1,0 +1,82 @@
+"""Multimodal plumbing: media spans are opaque ``media_ref`` strings
+with typed metadata; decode / feature-extraction runs as an actor-pool
+``map_batches`` stage.
+
+The image/audio codec libraries are not installed in this sandbox, so
+the DECODE step is a clearly-marked stub: :class:`MediaFeatureStub`
+produces deterministic fake features (md5 of the ref) with the real
+Ray-side plumbing — actor signature, small batch size for large
+payloads, Arrow-friendly output schema.  Swap ``_decode`` for a real
+codec (PIL / torchaudio / pyav) in production; everything else stands.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+class MediaFeatureStub:
+    """(doc_id, kind, media_ref) -> (doc_id, media_ref, kind, feat_hash).
+
+    ``__init__`` is where a real decoder would load its model/codecs
+    (once per actor).  ``decode_real`` documents the unimplemented
+    surface.
+    """
+
+    def __init__(self, feature_dim: int = 8):
+        self.feature_dim = feature_dim
+
+    @staticmethod
+    def decode_real(media_ref: str, payload: bytes):
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "MediaFeatureStub substitutes deterministic fake features"
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feat_hash = batch["media_ref"].map(
+            lambda r: hashlib.md5(r.encode("utf-8")).hexdigest()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "kind": batch["kind"],
+                "feat_hash": feat_hash,
+            }
+        )
+
+
+class MediaEmbeddingStub:
+    """Fake per-media embedding: first ``dim`` md5 bytes, unit-scaled.
+    Demonstrates the large-binary-stage sizing: small ``batch_size``,
+    one actor per core, fixed-width ``list<float>`` output."""
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        embs = []
+        for ref in batch["media_ref"]:
+            h = hashlib.md5(ref.encode("utf-8")).digest()
+            v = np.frombuffer((h * ((self.dim // 16) + 1))[: self.dim], dtype=np.uint8)
+            v = v.astype(np.float64)
+            n = np.linalg.norm(v)
+            embs.append((v / n if n else v).tolist())
+        return pd.DataFrame(
+            {"media_ref": batch["media_ref"], "media_embedding": embs}
+        )
+
+
+def media_features(media_spans_ds, batch_size: int = 1024, concurrency=(1, 8)):
+    """Actor-pool feature extraction over media spans.  batch_size is
+    deliberately small: with real payloads each row carries MBs."""
+    return media_spans_ds.map_batches(
+        MediaFeatureStub,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

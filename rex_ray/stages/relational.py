@@ -1,0 +1,106 @@
+"""Relational operators: broadcast hash joins, large-large shuffle
+joins, money-exact aggregation helpers.
+
+Join strategy (SURVEY.md §2.4): dimension tables (nation, customer at
+TPC-H scale factors) are SMALL-side — loaded once on the driver,
+``ray.put`` once, probed per batch with a vectorized pandas ``map``.
+Fact-fact joins (lineitem x orders) use ``Dataset.join`` (hash
+partitioned).  Money sums are computed in integer CENTS — per-row
+double arithmetic is bit-identical across engines, and integer sums
+are order-insensitive, so results hash-match the SQL oracle exactly
+(double sums would differ in the last ulp by summation order).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def to_cents(values) -> pd.Series:
+    """floor(x * 100.0 + 0.5) as int64 — EXACT mirror of SQL
+    ``CAST(floor(x * 100.0 + 0.5) AS BIGINT)``.  floor(+0.5) (not
+    round()) on both sides: numpy rounds half-to-even while DuckDB
+    rounds half-away-from-zero, so round() would diverge on exact
+    half-cents."""
+    return pd.Series(np.floor(np.asarray(values) * 100.0 + 0.5)).astype("int64")
+
+
+class BroadcastLookup:
+    """Actor-pool stage mapping a key column through a broadcast dict.
+
+    ``mapping_ref``: ray.ObjectRef of {key -> value} put ONCE on the
+    driver; resolved once per actor (never re-shipped per batch).
+    Rows with unmatched keys are dropped when ``inner=True`` (semi-join
+    flavor) else get NaN (left-join flavor).
+    """
+
+    def __init__(self, mapping_ref, key: str, out: str, inner: bool = True):
+        mapping = (
+            ray.get(mapping_ref)
+            if isinstance(mapping_ref, ray.ObjectRef)
+            else mapping_ref
+        )
+        self._map = pd.Series(mapping)
+        self.key = key
+        self.out = out
+        self.inner = inner
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[self.key].map(self._map)
+        batch = batch.assign(**{self.out: vals})
+        if self.inner:
+            batch = batch[vals.notna()]
+        return batch.reset_index(drop=True)
+
+
+def broadcast_join(ds, mapping: Dict, key: str, out: str, inner: bool = True,
+                   concurrency=(1, 8), **kwargs):
+    ref = ray.put(mapping)
+    return ds.map_batches(
+        BroadcastLookup,
+        fn_constructor_kwargs={
+            "mapping_ref": ref, "key": key, "out": out, "inner": inner,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+        **kwargs,
+    )
+
+
+def hash_join(left, right, on: str, num_partitions: int = 32,
+              join_type: str = "inner"):
+    """Large-large hash-partitioned join via ``Dataset.join``."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+    )
+
+
+def partial_groupby_sum(ds, keys, sums: Dict[str, str],
+                        counts: Optional[str] = None):
+    """Combiner + final shuffle for sum/count aggregates.
+
+    ``sums``: {input_col: output_col}; ``counts``: name for a row-count
+    column.  Per-batch partial groupby keeps the shuffle tiny.
+    """
+    from ray.data.aggregate import Sum
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True)
+        agg = g[list(sums)].sum().rename(columns=sums)
+        if counts:
+            agg[counts] = g.size()
+        return agg.reset_index()
+
+    partial = ds.map_batches(combine, batch_format="pandas")
+    aggs = [Sum(out, alias_name=out) for out in sums.values()]
+    if counts:
+        aggs.append(Sum(counts, alias_name=counts))
+    return partial.groupby(keys).aggregate(*aggs)

@@ -1,0 +1,97 @@
+"""Text-analysis stages over the documents table: language ID, quality
+scoring, token counting, fingerprinting, corpus word frequency.
+
+All per-doc math is closed-form and evaluated in the same operation
+order as the SQL oracle, so float outputs are bit-identical.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from rex_ray.functions import text as T
+
+
+class DocStats:
+    """(doc_id, text) -> doc_id, n_tokens, n_chars, fingerprint(md5)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": T.token_count_series(batch["text"]),
+                "n_chars": batch["text"].str.len().astype("int64"),
+                "fingerprint": T.md5_fingerprint_series(batch["text"]),
+            }
+        )
+
+
+class LangId:
+    """(doc_id, lang, text) -> doc_id, lang, pred_lang (stopword-hit
+    argmax; stopword lists compiled once per actor)."""
+
+    def __init__(self):
+        self.langs = sorted(T.LANG_STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hits = T.langid_frame(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": hits["pred_lang"],
+            }
+        )
+
+
+class QualityScore:
+    """(doc_id, text) -> per-doc quality signals + composite score."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        q = T.quality_frame(batch["text"])
+        q.insert(0, "doc_id", batch["doc_id"])
+        return q[
+            [
+                "doc_id", "n_tokens", "distinct_ratio",
+                "stopword_ratio", "quality_score",
+            ]
+        ]
+
+
+def word_frequency(docs_ds):
+    """Corpus-wide token histogram: per-batch partial counts (one row
+    per token per batch) then one small groupby-sum shuffle."""
+    from ray.data.aggregate import Sum
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            batch["text"].str.split(" ").explode().value_counts()
+        )
+        return counts.rename("n").rename_axis("token").reset_index()
+
+    partial = docs_ds.map_batches(combine, batch_format="pandas")
+    return partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+
+
+def langid_confusion(docs_ds):
+    """(lang, pred_lang) -> n_docs, via actor-pool LangId + partial
+    count + groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    preds = docs_ds.map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 8)
+    )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["lang", "pred_lang"], sort=False)
+            .size()
+            .rename("n_docs")
+            .reset_index()
+        )
+        return g
+
+    partial = preds.map_batches(combine, batch_format="pandas")
+    return partial.groupby(["lang", "pred_lang"]).aggregate(
+        Sum("n_docs", alias_name="n_docs")
+    )

@@ -1,0 +1,117 @@
+"""Dedup family + similarity search behavior tests at sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def test_exact_dedup_finds_planted_dups(docs_ds):
+    from rex_ray.stages.dedup import exact_dedup_groups
+
+    g = exact_dedup_groups(docs_ds).to_pandas()
+    n_docs = docs_ds.count()
+    assert g["group_size"].sum() == n_docs
+    # the generator plants near-dups that normalize to equality
+    assert (g["group_size"] > 1).any()
+
+
+def test_minhash_pairs_match_planted_dups(docs_ds):
+    """LSH pairs == the exact-dup pairs (planted dups have Jaccard 1.0
+    after normalization; nothing else reaches 0.9)."""
+    from rex_ray.functions import text as T
+    from rex_ray.stages.dedup import minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(docs_ds).to_pandas()
+    df = docs_ds.to_pandas()
+    df["k"] = T.normalize_dedup_text(df["text"])
+    expected = set()
+    for _, g in df.groupby("k"):
+        ids = sorted(g["doc_id"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected.add((ids[i], ids[j]))
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == expected
+
+
+def test_simhash_identical_for_planted_dups(docs_ds):
+    from rex_ray.functions import text as T
+    from rex_ray.stages.dedup import simhash_table
+
+    sh = simhash_table(docs_ds).to_pandas().set_index("doc_id")["simhash"]
+    df = docs_ds.to_pandas()
+    df["k"] = T.normalize_dedup_text(df["text"])
+    dup_groups = [g for _, g in df.groupby("k") if len(g) > 1]
+    assert dup_groups
+    for g in dup_groups:
+        hashes = {sh[d] for d in g["doc_id"]}
+        assert len(hashes) == 1  # identical normalized text -> same simhash
+
+
+def test_brute_force_topk_matches_numpy(emb_ds):
+    from rex_ray.stages.similarity import brute_force_topk
+
+    got = brute_force_topk(emb_ds, query_ids=range(3), k=4).to_pandas()
+    df = emb_ds.to_pandas().sort_values("vec_id")
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    for q in range(3):
+        sims = M[ids == q][0] @ M.T
+        mask = ids != q
+        order = np.lexsort((ids[mask], -sims[mask]))[:4]
+        expect = ids[mask][order].tolist()
+        mine = got[got["query_id"] == q].sort_values("rank")[
+            "neighbor_id"
+        ].tolist()
+        assert mine == expect
+
+
+def test_ivf_recall_reasonable(emb_ds):
+    from rex_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    exact = brute_force_topk(emb_ds, query_ids=range(10), k=5).to_pandas()
+    approx = ivf_topk(
+        emb_ds, query_ids=range(10), k=5, num_centroids=8, nprobe=4
+    ).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # nprobe/centroids = half the space probed
+
+
+def test_media_feature_stub(ray_session):
+    import ray.data as rd
+    from rex_ray.sources import interleaved as il
+    from rex_ray.stages import multimodal as mm
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [3], "text": [" ".join(["w"] * 30)]})
+    )
+    feats = mm.media_features(
+        il.media_spans(il.synthesize_interleaved(docs)).drop_columns(["offset"])
+    ).to_pandas()
+    # chunk=4+3%4=7 -> ceil(30/7)=5 text spans -> 2 media spans
+    assert len(feats) == 2
+    assert set(feats["kind"]) <= {"image", "audio"}
+    assert feats["feat_hash"].str.len().eq(32).all()
+    with pytest.raises(NotImplementedError):
+        mm.MediaFeatureStub.decode_real("media://x/1", b"")
