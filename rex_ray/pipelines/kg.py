@@ -80,6 +80,56 @@ def triple_store_from_interleaved(
     )
 
 
+def run_flagship_resumable(
+    sf_dir: str,
+    out_dir: str,
+    num_partitions: int = 8,
+    min_score: float = 0.0,
+):
+    """Checkpoint-resumable flagship (north_rule): per-partition
+    lineage + metrics under ``out_dir``, exact vs :func:`run_flagship`.
+
+    Phase 0  canonical map — one global artifact (connected components
+             need corpus-wide surface presence), built once, stored.
+    Phase 1  per doc_id-range partition: synthesize -> normalize ->
+             extract -> link -> partition-local dedup -> Parquet part
+             + ``_SUCCESS`` + lineage row.  Resume skips done parts.
+    Phase 2  associative merge (max score, sum support) over all parts.
+
+    Returns (triple_store Dataset, lineage list).
+    """
+    from rex_ray.state import checkpoint as ckpt
+
+    path = f"{sf_dir}/documents.parquet"
+
+    canonical = ckpt.write_artifact(
+        out_dir,
+        "canonical_map",
+        None,
+        build=lambda: build_canonical_map(
+            il.text_view(
+                il.synthesize_interleaved(
+                    rd.read_parquet(path, columns=["doc_id", "text"])
+                )
+            )
+        ),
+    )
+
+    def stage(docs_ds):
+        inter = il.synthesize_interleaved(
+            docs_ds.select_columns(["doc_id", "text"])
+        )
+        text_ds = il.text_view(inter)
+        triples = extract.extract_triples(text_ds, min_score=min_score)
+        linked = link.link_triples(triples, canonical)
+        return agg.dedup_triple_store(linked)
+
+    parts = ckpt.plan_id_ranges(path, "doc_id", num_partitions)
+    lineage = ckpt.run_resumable(parts, stage, out_dir)
+    merged = agg.merge_triple_stores(ckpt.read_output(out_dir))
+    return merged, lineage
+
+
 def run_flagship(sf_dir: str, min_score: float = 0.0):
     """documents.parquet -> interleaved synthesis -> full pipeline.
     Column-pruned read; returns the (small) triple-store Dataset."""

@@ -86,6 +86,17 @@ def dedup_triple_store(linked_triples_ds):
     return out
 
 
+def merge_triple_stores(parts_ds):
+    """Cross-partition merge of per-partition triple stores.  Exact
+    because the partial stats are associative: max(max(score)) and
+    sum(count) — the checkpointed flagship (``pipelines/kg.py``)
+    relies on this."""
+    return parts_ds.groupby(["subj_id", "pred", "obj_id"]).aggregate(
+        Max("score", alias_name="score"),
+        Sum("support", alias_name="support"),
+    )
+
+
 def score_tier_counts(triples_ds, tiers):
     """Tiered threshold counts (reference
     ``data/EncyclopediaDS/convert.py:27-46``'s .97/.98/.99 exports):
