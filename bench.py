@@ -87,9 +87,16 @@ def run_bench() -> dict:
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
 
+    # Each query runs twice: the first (cold) pays one-off worker/actor
+    # spin-up, the second is the steady-state throughput this
+    # fixed-cluster engine would sustain.  Both are reported.
     per_query = {}
+    per_query_cold = {}
     n_triples = 0
     for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        rows = _consume(qs[name](SF_DIR))
+        per_query_cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         rows = _consume(qs[name](SF_DIR))
         per_query[name] = round(time.perf_counter() - t0, 3)
@@ -102,11 +109,13 @@ def run_bench() -> dict:
         "value": headline_sec,
         "unit": "sec",
         "queries": per_query,
+        "queries_cold": per_query_cold,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs_per_sec": round(n_docs / headline_sec, 1),
         "triple_store_rows": n_triples,
         "total_sec": round(sum(per_query.values()), 3),
+        "total_cold_sec": round(sum(per_query_cold.values()), 3),
     }
     ray.shutdown()
     return result

@@ -28,14 +28,19 @@ def distinct_surfaces(docs_text_ds) -> list:
     """Distinct gazetteer surfaces present in the corpus.  Partial
     per-batch distinct inside the mention stage keeps the shuffle input
     tiny (one row per surface per batch)."""
+    import pyarrow as pa
+
     partial = docs_text_ds.map_batches(
         extract.MentionExtractor,
         batch_format="pandas",
         concurrency=(1, 8),
     ).map_batches(
-        lambda b: b[["surface"]].drop_duplicates(), batch_format="pandas"
+        lambda t: t.select(["surface"]).group_by("surface").aggregate([]),
+        batch_format="pyarrow",
     )
-    uniq = partial.unique("surface")
+    from rex_ray.functions.blocks import pre_shuffle
+
+    uniq = pre_shuffle(partial).unique("surface")
     return sorted(uniq) if uniq else []  # empty corpus -> no surfaces
 
 
@@ -57,10 +62,28 @@ def triple_store_from_text_docs(
     canonical: Optional[Dict[str, str]] = None,
 ):
     """(doc_id, text) Dataset -> deduped triple store Dataset
-    (subj_id, pred, obj_id, score, support)."""
-    if canonical is None:
-        canonical = build_canonical_map(docs_text_ds)
-    triples = extract.extract_triples(docs_text_ds, min_score=min_score)
+    (subj_id, pred, obj_id, score, support).
+
+    Single doc pass: when the canonical map must be derived from the
+    corpus, mentions are extracted ONCE and materialized (small: one
+    row per gazetteer hit), then reused for BOTH the distinct-surface
+    aggregation and the pair fan-out — instead of reading and
+    re-mentioning the corpus twice.  With a precomputed canonical map
+    (the resumable runner's phase-0 artifact) the fused
+    extract-triples path streams with no intermediate at all.
+    """
+    if canonical is not None:
+        triples = extract.extract_triples(docs_text_ds, min_score=min_score)
+    else:
+        mentions = extract.extract_mentions(docs_text_ds).materialize()
+        uniq = mentions.unique("surface")
+        surfaces = sorted(uniq) if uniq else []
+        canonical = canon.canonical_map_for_surfaces(
+            surfaces, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX
+        )
+        triples = extract.triples_from_mention_blocks(
+            mentions, min_score=min_score
+        )
     linked = link.link_triples(triples, canonical)
     return agg.dedup_triple_store(linked)
 

@@ -95,14 +95,20 @@ def q_kg_mention_type_counts(sf_dir: str):
     from rex_ray.stages import extract
 
     mentions = extract.extract_mentions(_docs(sf_dir))
+    from rex_ray.functions.blocks import arrow_block
+
     partial = mentions.map_batches(
-        lambda b: b.groupby("ent_type", sort=False)
-        .size()
-        .rename("n_mentions")
-        .reset_index(),
+        lambda b: arrow_block(
+            b.groupby("ent_type", sort=False)
+            .size()
+            .rename("n_mentions")
+            .reset_index()
+        ),
         batch_format="pandas",
     )
-    return partial.groupby("ent_type").aggregate(
+    from rex_ray.functions.blocks import pre_shuffle
+
+    return pre_shuffle(partial).groupby("ent_type").aggregate(
         Sum("n_mentions", alias_name="n_mentions")
     )
 
@@ -163,14 +169,22 @@ def q_mm_media_stats(sf_dir: str):
 
     inter = il.synthesize_interleaved(_docs(sf_dir))
     media = il.media_spans(inter)
+    from rex_ray.functions.blocks import arrow_block
+
     partial = media.map_batches(
-        lambda b: b.groupby("kind", sort=False)
-        .size()
-        .rename("n_spans")
-        .reset_index(),
+        lambda b: arrow_block(
+            b.groupby("kind", sort=False)
+            .size()
+            .rename("n_spans")
+            .reset_index()
+        ),
         batch_format="pandas",
     )
-    return partial.groupby("kind").aggregate(Sum("n_spans", alias_name="n_spans"))
+    from rex_ray.functions.blocks import pre_shuffle
+
+    return pre_shuffle(partial).groupby("kind").aggregate(
+        Sum("n_spans", alias_name="n_spans")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -159,7 +159,9 @@ def q_top_customers(sf_dir: str):
     agg = partial_groupby_sum(
         prepped, ["o_custkey"], {"rev_cents": "revenue_cents"}
     )
-    top = agg.sort(
+    from rex_ray.functions.blocks import pre_shuffle
+
+    top = pre_shuffle(agg).sort(
         ["revenue_cents", "o_custkey"], descending=[True, False]
     ).limit(10)
     cust = pq.read_table(
@@ -206,15 +208,19 @@ def q_events_type_stats(sf_dir: str):
 
     ev = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
+    def combine(df: pd.DataFrame):
+        from rex_ray.functions.blocks import arrow_block
+
         g = df.groupby("event_type", sort=False)["value"].agg(
             ["min", "max", "size"]
         )
         g.columns = ["min_value", "max_value", "n_events"]
         g["n_events"] = g["n_events"].astype("int64")
-        return g.reset_index()
+        return arrow_block(g.reset_index())
 
-    partial = ev.map_batches(combine, batch_format="pandas")
+    from rex_ray.functions.blocks import pre_shuffle
+
+    partial = pre_shuffle(ev.map_batches(combine, batch_format="pandas"))
     return partial.groupby("event_type").aggregate(
         Min("min_value", alias_name="min_value"),
         Max("max_value", alias_name="max_value"),

@@ -20,20 +20,22 @@ import pandas as pd
 
 from ray.data.aggregate import Max, Sum
 
+from rex_ray.functions.blocks import arrow_block, pre_shuffle
+
 
 def _partial_counts_max(
     keys: List[str], score_col: str = "score"
 ):
     """Combiner factory: per-batch groupby(keys) -> (cnt, max score)."""
 
-    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+    def combine(batch: pd.DataFrame):
         g = batch.groupby(keys, sort=False, observed=True)[score_col].agg(
             ["count", "max"]
         )
         out = g.reset_index()
         out = out.rename(columns={"count": "cnt", "max": "max_score"})
         out["cnt"] = out["cnt"].astype("int64")
-        return out
+        return arrow_block(out)  # Arrow into the shuffle
 
     return combine
 
@@ -46,8 +48,10 @@ def aggregate_bags(triples_ds):
     Output per bag: pair_key, bag_label (modal predicate, ties ->
     lexicographically smallest), n_instances, max_score.
     """
-    partial = triples_ds.map_batches(
-        _partial_counts_max(["pair_key", "pred"]), batch_format="pandas"
+    partial = pre_shuffle(
+        triples_ds.map_batches(
+            _partial_counts_max(["pair_key", "pred"]), batch_format="pandas"
+        )
     )
     merged = partial.groupby(["pair_key", "pred"]).aggregate(
         Sum("cnt", alias_name="cnt"),
@@ -66,7 +70,7 @@ def aggregate_bags(triples_ds):
             }
         )
 
-    return merged.groupby("pair_key").map_groups(
+    return pre_shuffle(merged).groupby("pair_key").map_groups(
         bag_reduce, batch_format="pandas"
     )
 
@@ -75,9 +79,11 @@ def dedup_triple_store(linked_triples_ds):
     """Final triple-store dedup: group (subj_id, pred, obj_id) ->
     max(score) AS score, count(*) AS support.  Partial-aggregated per
     batch, then one small shuffle (SURVEY.md §2.7 'new-engine only')."""
-    partial = linked_triples_ds.map_batches(
-        _partial_counts_max(["subj_id", "pred", "obj_id"]),
-        batch_format="pandas",
+    partial = pre_shuffle(
+        linked_triples_ds.map_batches(
+            _partial_counts_max(["subj_id", "pred", "obj_id"]),
+            batch_format="pandas",
+        )
     )
     out = partial.groupby(["subj_id", "pred", "obj_id"]).aggregate(
         Max("max_score", alias_name="score"),
@@ -91,7 +97,9 @@ def merge_triple_stores(parts_ds):
     because the partial stats are associative: max(max(score)) and
     sum(count) — the checkpointed flagship (``pipelines/kg.py``)
     relies on this."""
-    return parts_ds.groupby(["subj_id", "pred", "obj_id"]).aggregate(
+    return pre_shuffle(parts_ds).groupby(
+        ["subj_id", "pred", "obj_id"]
+    ).aggregate(
         Max("score", alias_name="score"),
         Sum("support", alias_name="support"),
     )
@@ -104,7 +112,13 @@ def score_tier_counts(triples_ds, tiers):
     predicate count — computed in ONE pass via a per-batch combiner
     over (tier, pred) instead of one filtered scan per tier."""
 
-    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    tier_schema = pa.schema(
+        [("tier", pa.float64()), ("pred", pa.string()), ("n", pa.int64())]
+    )
+
+    def combine(batch: pd.DataFrame):
         rows = []
         for t in tiers:
             sel = batch[batch["score"] >= t]
@@ -112,9 +126,14 @@ def score_tier_counts(triples_ds, tiers):
                 g = sel.groupby("pred", sort=False).size()
                 for pred, n in g.items():
                     rows.append((float(t), pred, int(n)))
-        return pd.DataFrame(rows, columns=["tier", "pred", "n"])
+        return arrow_block(
+            pd.DataFrame(rows, columns=["tier", "pred", "n"]),
+            schema=tier_schema,
+        )
 
-    partial = triples_ds.map_batches(combine, batch_format="pandas")
+    partial = pre_shuffle(
+        triples_ds.map_batches(combine, batch_format="pandas")
+    )
     merged = partial.groupby(["tier", "pred"]).aggregate(
         Sum("n", alias_name="n")
     )
@@ -128,4 +147,6 @@ def score_tier_counts(triples_ds, tiers):
             }
         )
 
-    return merged.groupby("tier").map_groups(finalize, batch_format="pandas")
+    return pre_shuffle(merged).groupby("tier").map_groups(
+        finalize, batch_format="pandas"
+    )

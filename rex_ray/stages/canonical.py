@@ -26,6 +26,8 @@ import pandas as pd
 
 from ray.data.aggregate import Min
 
+from rex_ray.functions.blocks import arrow_block
+
 
 def cc_local(
     nodes: Iterable[str], edges: Iterable[Tuple[str, str]]
@@ -69,19 +71,21 @@ def cc_label_propagation(nodes_ds, edges_ds, max_iter: int = 20):
     # undirected -> both directions, built once and materialized (reused
     # every round)
     both = edges_ds.map_batches(
-        lambda b: pd.concat(
-            [
-                b.rename(columns={"a": "src", "b": "dst"}),
-                b.rename(columns={"a": "dst", "b": "src"})[["src", "dst"]],
-            ],
-            ignore_index=True,
-        )[["src", "dst"]],
+        lambda b: arrow_block(
+            pd.concat(
+                [
+                    b.rename(columns={"a": "src", "b": "dst"}),
+                    b.rename(columns={"a": "dst", "b": "src"})[["src", "dst"]],
+                ],
+                ignore_index=True,
+            )[["src", "dst"]]
+        ),
         batch_format="pandas",
     ).materialize()
 
     labels = nodes_ds.map_batches(
-        lambda b: pd.DataFrame(
-            {"node": b["node"], "canonical": b["node"]}
+        lambda b: arrow_block(
+            pd.DataFrame({"node": b["node"], "canonical": b["node"]})
         ),
         batch_format="pandas",
     ).materialize()
@@ -90,15 +94,15 @@ def cc_label_propagation(nodes_ds, edges_ds, max_iter: int = 20):
         # label of src flows to dst
         msgs = both.join(
             labels.map_batches(
-                lambda b: b.rename(columns={"node": "src"}),
+                lambda b: arrow_block(b.rename(columns={"node": "src"})),
                 batch_format="pandas",
             ),
             join_type="inner",
             on=("src",),
             num_partitions=max(2, both.num_blocks()),
         ).map_batches(
-            lambda b: pd.DataFrame(
-                {"node": b["dst"], "canonical": b["canonical"]}
+            lambda b: arrow_block(
+                pd.DataFrame({"node": b["dst"], "canonical": b["canonical"]})
             ),
             batch_format="pandas",
         )

@@ -17,6 +17,11 @@ import pandas as pd
 
 from rex_ray.functions import hashing as H
 from rex_ray.functions import text as T
+from rex_ray.functions.blocks import arrow_block, pre_shuffle
+
+import pyarrow as pa
+
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
 # ---------------------------------------------------------------------------
@@ -38,9 +43,9 @@ def exact_dedup_groups(docs_ds):
             .agg(survivor_doc_id=("doc_id", "min"), group_size=("doc_id", "size"))
         )
         g["group_size"] = g["group_size"].astype("int64")
-        return g.reset_index()
+        return arrow_block(g.reset_index())  # Arrow into the shuffle
 
-    partial = docs_ds.map_batches(combine, batch_format="pandas")
+    partial = pre_shuffle(docs_ds.map_batches(combine, batch_format="pandas"))
     merged = partial.groupby("k").aggregate(
         Min("survivor_doc_id", alias_name="survivor_doc_id"),
         Sum("group_size", alias_name="group_size"),
@@ -53,29 +58,79 @@ def exact_dedup_groups(docs_ds):
 # ---------------------------------------------------------------------------
 
 class MinHashBander:
-    """doc -> LSH band rows (band_id, band_hash, doc_id, norm_text).
+    """doc -> LSH band rows (band_key, doc_id, norm_text).
 
-    Hash family built once per actor.  norm_text rides along so the
-    verify step can compute exact Jaccard inside the bucket group
-    without a second join (at 10^12-doc scale, replace with a
-    doc_id -> shingle-sketch side table join to avoid duplicating text
-    x num_bands through the shuffle)."""
+    Hash family built once per actor.  ``band_key`` folds
+    (band_id, band_hash) into one int64 — a key collision merely
+    merges two buckets, adding candidates that the exact-Jaccard
+    verify rejects, so correctness is unaffected.  norm_text rides
+    along so the verify step can compute exact Jaccard inside the
+    bucket group without a second join (at 10^12-doc scale, replace
+    with a doc_id -> shingle-sketch side table join to avoid
+    duplicating text x num_bands through the shuffle)."""
 
     def __init__(self, num_perm: int = 64, num_bands: int = 16, k: int = 3):
         self.mh = H.MinHasher(num_perm=num_perm)
         self.num_bands = num_bands
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         norm = T.normalize_dedup_text(batch["text"])
         rows: List[tuple] = []
         for doc_id, nt in zip(batch["doc_id"], norm):
             sig = self.mh.signature(H.token_shingles(nt.split(" "), self.k))
             for band_id, band_hash in self.mh.bands(sig, self.num_bands):
-                rows.append((band_id, band_hash, doc_id, nt))
-        return pd.DataFrame(
-            rows, columns=["band_id", "band_hash", "doc_id", "norm_text"]
+                key = (band_hash ^ (band_id * 0x9E3779B97F4A7C15)) & (
+                    (1 << 63) - 1
+                )
+                rows.append((key, doc_id, nt))
+        return arrow_block(
+            pd.DataFrame(rows, columns=["band_key", "doc_id", "norm_text"])
         )
+
+
+def _hot_buckets(bands_ds, key_col: str):
+    """Keys of buckets holding >= 2 rows — the only ones that can emit
+    a candidate pair.  Counted with a vectorized Arrow partial + one
+    tiny aggregate; the hot-key list is driver-collected (collisions
+    are rare by construction — at extreme scale swap the collect for a
+    broadcast filter built from the counts dataset)."""
+    from ray.data.aggregate import Sum
+
+    partial = bands_ds.map_batches(
+        lambda t: t.select([key_col])
+        .group_by(key_col)
+        .aggregate([(key_col, "count")])
+        .rename_columns([key_col, "n"]),
+        batch_format="pyarrow",
+    )
+    counts = pre_shuffle(partial).groupby(key_col).aggregate(
+        Sum("n", alias_name="n")
+    )
+    hot = counts.filter(expr="n >= 2")
+    return [r[key_col] for r in hot.take_all()]
+
+
+def _bucket_pairs_ds(bands_ds, key_col: str, bucket_pairs):
+    """Filter to hot buckets, then per-bucket pair generation.  The
+    map_groups only ever sees colliding buckets — per-group overhead
+    is paid on the (tiny) candidate set, not on every band row."""
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+
+    hot = _hot_buckets(bands_ds, key_col)
+    if not hot:
+        return bands_ds.map_batches(
+            lambda t: _PAIR_SCHEMA.empty_table(), batch_format="pyarrow"
+        )
+    value_set = _pa.array(sorted(hot), type=_pa.int64())
+    hot_rows = bands_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[key_col], value_set=value_set)),
+        batch_format="pyarrow",
+    )
+    return pre_shuffle(hot_rows).groupby(key_col).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
 
 
 def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
@@ -93,7 +148,7 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
         fn_constructor_kwargs={"k": k},
         batch_format="pandas",
         concurrency=(1, 8),
-    )
+    ).materialize()  # consumed twice: bucket counts + hot-bucket rows
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -106,13 +161,14 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
             for (da, ta), (db, tb) in combinations(docs, 2):
                 if H.jaccard(shingles[da], shingles[db]) >= threshold:
                     rows.append((da, db))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+        return arrow_block(
+            pd.DataFrame(rows, columns=["doc_a", "doc_b"]),
+            schema=_PAIR_SCHEMA,
+        )
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    cand = _bucket_pairs_ds(bands, "band_key", bucket_pairs)
     # global pair dedup (a pair may surface from several bands)
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+    return pre_shuffle(cand).groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="_nb")
     ).drop_columns(["_nb"])
 
@@ -148,19 +204,20 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
     16-bit chunk — pigeonhole), verify hamming inside buckets."""
     from ray.data.aggregate import Count
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    def band_rows(batch: pd.DataFrame):
         norm = T.normalize_dedup_text(batch["text"])
         rows = []
         for doc_id, t in zip(batch["doc_id"], norm):
             sh = H.simhash64(t.split(" "))
             for c in range(4):
-                chunk = (sh >> (16 * c)) & 0xFFFF
-                rows.append((c, chunk, doc_id, sh))
-        return pd.DataFrame(
-            rows, columns=["chunk_id", "chunk", "doc_id", "simhash"]
+                # exact composite key: chunk_id in the high bits
+                key = (c << 16) | ((sh >> (16 * c)) & 0xFFFF)
+                rows.append((key, doc_id, sh))
+        return arrow_block(
+            pd.DataFrame(rows, columns=["band_key", "doc_id", "simhash"])
         )
 
-    bands = docs_ds.map_batches(band_rows, batch_format="pandas")
+    bands = docs_ds.map_batches(band_rows, batch_format="pandas").materialize()
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -169,12 +226,13 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
             for (da, ha), (db, hb) in combinations(docs, 2):
                 if da != db and H.hamming64(int(ha), int(hb)) <= max_hamming:
                     rows.append((da, db))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+        return arrow_block(
+            pd.DataFrame(rows, columns=["doc_a", "doc_b"]),
+            schema=_PAIR_SCHEMA,
+        )
 
-    cand = bands.groupby(["chunk_id", "chunk"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+    cand = _bucket_pairs_ds(bands, "band_key", bucket_pairs)
+    return pre_shuffle(cand).groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="_nb")
     ).drop_columns(["_nb"])
 

@@ -19,8 +19,48 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
+from rex_ray.functions.blocks import arrow_block
 from rex_ray.pipelines import spec
+
+
+def _doc_id_type(series: pd.Series) -> pa.DataType:
+    """documents.parquet carries int64 doc ids; the interleaved text
+    view carries 'doc-XXXXXXXX' strings — the stages serve both."""
+    return (
+        pa.int64()
+        if np.issubdtype(series.dtype, np.integer)
+        else pa.string()
+    )
+
+
+def _mentions_schema(doc_id_t: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_id", doc_id_t),
+            ("pos", pa.int64()),
+            ("surface", pa.string()),
+            ("ent_type", pa.string()),
+        ]
+    )
+
+
+def _triples_schema(doc_id_t: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_id", doc_id_t),
+            ("subj", pa.string()),
+            ("subj_pos", pa.int64()),
+            ("subj_type", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("obj_pos", pa.int64()),
+            ("obj_type", pa.string()),
+            ("pair_key", pa.string()),
+            ("score", pa.float64()),
+        ]
+    )
 
 
 def _explode_tokens(batch: pd.DataFrame) -> pd.DataFrame:
@@ -42,7 +82,13 @@ class MentionExtractor:
         gaz = gazetteer if gazetteer is not None else spec.GAZETTEER
         self._gaz = pd.Series(gaz, name="ent_type")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        return arrow_block(
+            self.mentions_df(batch),
+            schema=_mentions_schema(_doc_id_type(batch["doc_id"])),
+        )
+
+    def mentions_df(self, batch: pd.DataFrame) -> pd.DataFrame:
         ex = _explode_tokens(batch)
         hit = ex[ex["tok"].isin(self._gaz.index)].rename(
             columns={"tok": "surface"}
@@ -78,8 +124,20 @@ class TripleExtractor:
         self._pred = {f"{h}|{t}": p for (h, t), p in pm.items()}
         self.min_score = min_score
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = self._mentions(batch)
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        m = self._mentions.mentions_df(batch)
+        return self.triples_from_mentions(m, _doc_id_type(batch["doc_id"]))
+
+    def triples_from_mentions(
+        self, m: pd.DataFrame, doc_id_t: Optional[pa.DataType] = None
+    ) -> pa.Table:
+        """Windowed pair fan-out over a mention frame.  Correct only
+        when every mention of a doc is present in ``m`` (guaranteed
+        when m comes from one extraction batch, or from a whole
+        materialized mention block via ``batch_size=None``)."""
+        if doc_id_t is None:
+            doc_id_t = _doc_id_type(m["doc_id"])
+        schema = _triples_schema(doc_id_t)
         parts = []
         for d in range(1, self.window + 1):
             right = m.rename(
@@ -102,7 +160,7 @@ class TripleExtractor:
                 j["score"] = 1.0 / d
                 parts.append(j)
         if not parts:
-            return _EMPTY_TRIPLES.copy()
+            return schema.empty_table()
         out = pd.concat(parts, ignore_index=True)
         type_key = out["subj_type"] + "|" + out["obj_type"]
         out["pred"] = type_key.map(self._pred).fillna(spec.PRED_FALLBACK)
@@ -111,23 +169,8 @@ class TripleExtractor:
             out = out[out["score"] >= self.min_score]
         out["subj_pos"] = out["subj_pos"].astype("int64")
         out["obj_pos"] = out["obj_pos"].astype("int64")
-        return out[list(_EMPTY_TRIPLES.columns)].reset_index(drop=True)
-
-
-_EMPTY_TRIPLES = pd.DataFrame(
-    {
-        "doc_id": pd.Series(dtype="object"),
-        "subj": pd.Series(dtype="object"),
-        "subj_pos": pd.Series(dtype="int64"),
-        "subj_type": pd.Series(dtype="object"),
-        "pred": pd.Series(dtype="object"),
-        "obj": pd.Series(dtype="object"),
-        "obj_pos": pd.Series(dtype="int64"),
-        "obj_type": pd.Series(dtype="object"),
-        "pair_key": pd.Series(dtype="object"),
-        "score": pd.Series(dtype="float64"),
-    }
-)
+        cols = [f.name for f in schema]
+        return arrow_block(out[cols].reset_index(drop=True), schema=schema)
 
 
 def extract_mentions(docs_ds, **kwargs):
@@ -148,4 +191,24 @@ def extract_triples(docs_ds, min_score: float = 0.0, **kwargs):
         batch_format="pandas",
         concurrency=kwargs.pop("concurrency", (1, 8)),
         **kwargs,
+    )
+
+
+def triples_from_mention_blocks(mentions_ds, min_score: float = 0.0):
+    """Pair fan-out over an already-extracted mentions Dataset.
+
+    ``batch_size=None`` processes one whole block per call; mention
+    blocks are produced per extraction batch, so a document's mentions
+    never straddle a block — the doc-locality precondition of
+    :meth:`TripleExtractor.triples_from_mentions` holds.  This is the
+    single-doc-pass flagship path: mentions are extracted ONCE, reused
+    for both the canonical-surface aggregation and the pair fan-out.
+    """
+    ex = TripleExtractor(min_score=min_score)
+
+    def fanout(m: pd.DataFrame) -> pa.Table:
+        return ex.triples_from_mentions(m)
+
+    return mentions_ds.map_batches(
+        fanout, batch_format="pandas", batch_size=None
     )

@@ -20,6 +20,8 @@ import pandas as pd
 
 import ray
 
+from rex_ray.functions.blocks import arrow_block, pre_shuffle
+
 
 def to_cents(values) -> pd.Series:
     """floor(x * 100.0 + 0.5) as int64 — EXACT mirror of SQL
@@ -92,14 +94,14 @@ def partial_groupby_sum(ds, keys, sums: Dict[str, str],
     """
     from ray.data.aggregate import Sum
 
-    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+    def combine(batch: pd.DataFrame):
         g = batch.groupby(keys, sort=False, observed=True)
         agg = g[list(sums)].sum().rename(columns=sums)
         if counts:
             agg[counts] = g.size()
-        return agg.reset_index()
+        return arrow_block(agg.reset_index())  # Arrow into the shuffle
 
-    partial = ds.map_batches(combine, batch_format="pandas")
+    partial = pre_shuffle(ds.map_batches(combine, batch_format="pandas"))
     aggs = [Sum(out, alias_name=out) for out in sums.values()]
     if counts:
         aggs.append(Sum(counts, alias_name=counts))

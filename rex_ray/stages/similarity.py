@@ -17,8 +17,19 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
+
+from rex_ray.functions.blocks import arrow_block, pre_shuffle
+
+_TOPK_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("neighbor_id", pa.int64()),
+        ("sim", pa.float64()),
+    ]
+)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -85,8 +96,11 @@ def brute_force_topk(
                 order = np.lexsort((cand_ids, -cand_s))[:take]
                 for j in order:
                     rows.append((int(qid), int(cand_ids[j]), float(cand_s[j])))
-            return pd.DataFrame(
-                rows, columns=["query_id", "neighbor_id", "sim"]
+            return arrow_block(
+                pd.DataFrame(
+                    rows, columns=["query_id", "neighbor_id", "sim"]
+                ),
+                schema=_TOPK_PARTIAL_SCHEMA,
             )
 
     partial = emb_ds.map_batches(
@@ -98,15 +112,19 @@ def brute_force_topk(
             ["sim", "neighbor_id"], ascending=[False, True]
         ).head(k)
         g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"],
-                "neighbor_id": g["neighbor_id"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            }
+        return arrow_block(
+            pd.DataFrame(
+                {
+                    "query_id": g["query_id"],
+                    "neighbor_id": g["neighbor_id"],
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
         )
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return pre_shuffle(partial).groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )
 
 
 class IvfCentroidAssigner:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pandas as pd
 
 from rex_ray.functions import text as T
+from rex_ray.functions.blocks import arrow_block, pre_shuffle
 
 
 class DocStats:
@@ -67,9 +68,11 @@ def word_frequency(docs_ds):
         counts = (
             batch["text"].str.split(" ").explode().value_counts()
         )
-        return counts.rename("n").rename_axis("token").reset_index()
+        return arrow_block(
+            counts.rename("n").rename_axis("token").reset_index()
+        )
 
-    partial = docs_ds.map_batches(combine, batch_format="pandas")
+    partial = pre_shuffle(docs_ds.map_batches(combine, batch_format="pandas"))
     return partial.groupby("token").aggregate(Sum("n", alias_name="n"))
 
 
@@ -89,9 +92,9 @@ def langid_confusion(docs_ds):
             .rename("n_docs")
             .reset_index()
         )
-        return g
+        return arrow_block(g)
 
-    partial = preds.map_batches(combine, batch_format="pandas")
+    partial = pre_shuffle(preds.map_batches(combine, batch_format="pandas"))
     return partial.groupby(["lang", "pred_lang"]).aggregate(
         Sum("n_docs", alias_name="n_docs")
     )

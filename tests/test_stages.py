@@ -24,6 +24,8 @@ def _batch():
 
 def test_mention_extractor():
     m = MentionExtractor()(_batch())
+    assert hasattr(m, "to_pandas")  # stages emit Arrow into the store
+    m = m.to_pandas()
     got = list(zip(m.doc_id, m.pos, m.surface, m.ent_type))
     assert (1, 1, "join", "ALGO") in got
     assert (1, 3, "hash", "ALGO") in got
@@ -32,7 +34,7 @@ def test_mention_extractor():
 
 
 def test_triple_extractor_window_and_pred():
-    t = TripleExtractor()(_batch())
+    t = TripleExtractor()(_batch()).to_pandas()
     rows = {
         (r.doc_id, r.subj, r.pred, r.obj, r.score)
         for r in t.itertuples()
@@ -53,9 +55,12 @@ def test_triple_extractor_window_and_pred():
 
 
 def test_triple_extractor_empty():
-    t = TripleExtractor()(pd.DataFrame({"doc_id": [9], "text": ["nothing here"]}))
+    t = TripleExtractor()(
+        pd.DataFrame({"doc_id": [9], "text": ["nothing here"]})
+    ).to_pandas()
     assert len(t) == 0
     assert "pair_key" in t.columns
+    assert t["doc_id"].dtype == np.int64  # schema-stable empty block
 
 
 def test_cc_local():
