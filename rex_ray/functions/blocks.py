@@ -23,6 +23,20 @@ def arrow_block(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
     return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
 
 
+def default_concurrency():
+    """Actor-pool sizing for light stateful stages: scale the pool cap
+    to the cluster's CPU count (a fixed cap would serialize the hot
+    stages on bigger clusters; the pool still starts at 1 and grows
+    on demand)."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return (1, max(2, n))
+
+
 def pre_shuffle(ds):
     """Stage a shuffle input: materialize the partial-aggregate output
     right before a ``groupby``/``sort`` all-to-all.

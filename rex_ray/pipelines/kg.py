@@ -17,6 +17,8 @@ from typing import Dict, Optional
 
 import ray.data as rd
 
+from rex_ray.functions.blocks import default_concurrency
+
 from rex_ray.pipelines import spec
 from rex_ray.sources import interleaved as il
 from rex_ray.stages import aggregate as agg
@@ -33,7 +35,7 @@ def distinct_surfaces(docs_text_ds) -> list:
     partial = docs_text_ds.map_batches(
         extract.MentionExtractor,
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     ).map_batches(
         lambda t: t.select(["surface"]).group_by("surface").aggregate([]),
         batch_format="pyarrow",

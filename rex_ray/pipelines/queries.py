@@ -163,6 +163,21 @@ def q_kg_triple_store_interleaved(sf_dir: str):
     return kg.run_flagship(sf_dir)
 
 
+def q_kg_parity_prf(sf_dir: str):
+    """Triple-set P/R/F1 of the distributed extractor vs the
+    independent straight-line gold implementation (north_rule's
+    P/R >= 0.95 criterion; semantics of rex/metrics/triple.py:6-43).
+    The oracle computes the same counts from its own triple CTE with
+    P=R=F1=1.0 — any extractor drift breaks the value match."""
+    from rex_ray.pipelines import gold
+    from rex_ray.stages import extract, parity
+
+    pred = extract.extract_triples(_docs(sf_dir)).select_columns(
+        ["doc_id", "subj", "pred", "obj"]
+    )
+    return parity.parity_table(pred, gold.gold_triples_ds(sf_dir))
+
+
 def q_mm_media_stats(sf_dir: str):
     from ray.data.aggregate import Sum
     from rex_ray.sources import interleaved as il
@@ -259,6 +274,27 @@ GROUP BY 1, 2, 3
 _SQL["kg_triple_store"] = _TRIPLE_STORE_SQL
 _SQL["kg_triple_store_interleaved"] = _TRIPLE_STORE_SQL
 
+_SQL["kg_parity_prf"] = f"""
+WITH {_kg_ctes()},
+views AS (
+    SELECT 'triple' AS v,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT doc_id, subj, pred, obj FROM tri)
+    UNION ALL
+    SELECT 'subject', CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT doc_id, subj FROM tri)
+    UNION ALL
+    SELECT 'relation', CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT doc_id, pred FROM tri)
+    UNION ALL
+    SELECT 'object', CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT doc_id, obj FROM tri)
+)
+SELECT v AS "view", 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1,
+       n AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn
+FROM views
+"""
+
 _SQL["mm_media_stats"] = """
 WITH stats AS (
     SELECT doc_id, len(string_split(text, ' ')) AS n,
@@ -299,6 +335,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_canonical_map": q_kg_canonical_map,
     "kg_triple_store": q_kg_triple_store,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
+    "kg_parity_prf": q_kg_parity_prf,
     "mm_media_stats": q_mm_media_stats,
 }
 

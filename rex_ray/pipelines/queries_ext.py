@@ -17,6 +17,7 @@ from typing import Callable, Dict
 import numpy as np
 import pandas as pd
 
+from rex_ray.functions.blocks import default_concurrency
 from rex_ray.pipelines.queries import _read  # shared reader
 
 Q1_CUTOFF = "1998-09-02"
@@ -236,7 +237,7 @@ def q_ta_doc_stats(sf_dir: str):
     from rex_ray.stages.textstats import DocStats
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        DocStats, batch_format="pandas", concurrency=(1, 8)
+        DocStats, batch_format="pandas", concurrency=default_concurrency()
     )
 
 
@@ -252,7 +253,7 @@ def q_ta_quality(sf_dir: str):
     from rex_ray.stages.textstats import QualityScore
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScore, batch_format="pandas", concurrency=(1, 8)
+        QualityScore, batch_format="pandas", concurrency=default_concurrency()
     )
 
 

@@ -17,7 +17,11 @@ import pandas as pd
 
 from rex_ray.functions import hashing as H
 from rex_ray.functions import text as T
-from rex_ray.functions.blocks import arrow_block, pre_shuffle
+from rex_ray.functions.blocks import (
+    arrow_block,
+    default_concurrency,
+    pre_shuffle,
+)
 
 import pyarrow as pa
 
@@ -147,7 +151,7 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
         MinHashBander,
         fn_constructor_kwargs={"k": k},
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     ).materialize()  # consumed twice: bucket counts + hot-bucket rows
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -194,7 +198,7 @@ class SimHasher:
 
 def simhash_table(docs_ds):
     return docs_ds.map_batches(
-        SimHasher, batch_format="pandas", concurrency=(1, 8)
+        SimHasher, batch_format="pandas", concurrency=default_concurrency()
     )
 
 
@@ -273,5 +277,5 @@ def embedding_dup_pairs(emb_ds, threshold: float, id_col: str = "vec_id"):
             return pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
 
     return emb_ds.map_batches(
-        PairFinder, batch_format="pandas", concurrency=(1, 8)
+        PairFinder, batch_format="pandas", concurrency=default_concurrency()
     )

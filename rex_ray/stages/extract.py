@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rex_ray.functions.blocks import arrow_block
+from rex_ray.functions.blocks import arrow_block, default_concurrency
 from rex_ray.pipelines import spec
 
 
@@ -178,7 +178,7 @@ def extract_mentions(docs_ds, **kwargs):
     return docs_ds.map_batches(
         MentionExtractor,
         batch_format="pandas",
-        concurrency=kwargs.pop("concurrency", (1, 8)),
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
         **kwargs,
     )
 
@@ -189,7 +189,7 @@ def extract_triples(docs_ds, min_score: float = 0.0, **kwargs):
         TripleExtractor,
         fn_constructor_kwargs={"min_score": min_score},
         batch_format="pandas",
-        concurrency=kwargs.pop("concurrency", (1, 8)),
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
         **kwargs,
     )
 

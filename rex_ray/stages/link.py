@@ -24,6 +24,8 @@ import pandas as pd
 
 import ray
 
+from rex_ray.functions.blocks import default_concurrency
+
 
 def hashed_embedding(tokens: List[str], dim: int = 32) -> np.ndarray:
     """Deterministic hashed-BoW unit vector (FNV bucket + sign)."""
@@ -128,6 +130,6 @@ def link_triples(triples_ds, canonical: Dict[str, str], **kwargs):
         CanonicalLinker,
         fn_constructor_kwargs={"canon_ref": ref},
         batch_format="pandas",
-        concurrency=kwargs.pop("concurrency", (1, 8)),
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
         **kwargs,
     )

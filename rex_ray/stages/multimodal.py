@@ -17,6 +17,8 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from rex_ray.functions.blocks import default_concurrency
+
 
 class MediaFeatureStub:
     """(doc_id, kind, media_ref) -> (doc_id, media_ref, kind, feat_hash).
@@ -71,12 +73,12 @@ class MediaEmbeddingStub:
         )
 
 
-def media_features(media_spans_ds, batch_size: int = 1024, concurrency=(1, 8)):
+def media_features(media_spans_ds, batch_size: int = 1024, concurrency=None):
     """Actor-pool feature extraction over media spans.  batch_size is
     deliberately small: with real payloads each row carries MBs."""
     return media_spans_ds.map_batches(
         MediaFeatureStub,
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_concurrency(),
     )

@@ -20,7 +20,11 @@ import pandas as pd
 
 import ray
 
-from rex_ray.functions.blocks import arrow_block, pre_shuffle
+from rex_ray.functions.blocks import (
+    arrow_block,
+    default_concurrency,
+    pre_shuffle,
+)
 
 
 def to_cents(values) -> pd.Series:
@@ -61,7 +65,7 @@ class BroadcastLookup:
 
 
 def broadcast_join(ds, mapping: Dict, key: str, out: str, inner: bool = True,
-                   concurrency=(1, 8), **kwargs):
+                   concurrency=None, **kwargs):
     ref = ray.put(mapping)
     return ds.map_batches(
         BroadcastLookup,
@@ -69,7 +73,7 @@ def broadcast_join(ds, mapping: Dict, key: str, out: str, inner: bool = True,
             "mapping_ref": ref, "key": key, "out": out, "inner": inner,
         },
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=concurrency or default_concurrency(),
         **kwargs,
     )
 

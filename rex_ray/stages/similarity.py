@@ -21,7 +21,11 @@ import pyarrow as pa
 
 import ray
 
-from rex_ray.functions.blocks import arrow_block, pre_shuffle
+from rex_ray.functions.blocks import (
+    arrow_block,
+    default_concurrency,
+    pre_shuffle,
+)
 
 _TOPK_PARTIAL_SCHEMA = pa.schema(
     [
@@ -104,7 +108,7 @@ def brute_force_topk(
             )
 
     partial = emb_ds.map_batches(
-        LocalTopK, batch_format="pandas", concurrency=(1, 8)
+        LocalTopK, batch_format="pandas", concurrency=default_concurrency()
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -164,7 +168,7 @@ def ivf_topk(
         IvfCentroidAssigner,
         fn_constructor_kwargs={"num_centroids": num_centroids},
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     )
     qdf = (
         _filter_ids(emb_ds, id_col, sorted(query_ids))

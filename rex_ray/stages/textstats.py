@@ -10,7 +10,11 @@ from __future__ import annotations
 import pandas as pd
 
 from rex_ray.functions import text as T
-from rex_ray.functions.blocks import arrow_block, pre_shuffle
+from rex_ray.functions.blocks import (
+    arrow_block,
+    default_concurrency,
+    pre_shuffle,
+)
 
 
 class DocStats:
@@ -82,7 +86,7 @@ def langid_confusion(docs_ds):
     from ray.data.aggregate import Sum
 
     preds = docs_ds.map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 8)
+        LangId, batch_format="pandas", concurrency=default_concurrency()
     )
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
