@@ -178,6 +178,64 @@ def q_kg_parity_prf(sf_dir: str):
     return parity.parity_table(pred, gold.gold_triples_ds(sf_dir))
 
 
+def q_kg_feature_rows(sf_dir: str):
+    """Model-ready feature rows projected to their SQL-expressible
+    invariants: pad-mask token count and the three piecewise-segment
+    lengths (proves encode + piecewise_mask construction against the
+    oracle's closed-form arithmetic)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rex_ray.functions.blocks import arrow_block
+    from rex_ray.stages import features
+
+    feats = features.featurize(_docs(sf_dir))
+
+    def project(t: pa.Table):
+        pm = np.stack(t["pmask"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_pylist(),
+                "subj_pos": t["subj_pos"].to_pylist(),
+                "obj_pos": t["obj_pos"].to_pylist(),
+                "pred": features.relation_label_encoder().decode(
+                    t["label_id"].to_pylist()
+                ),
+                "n_real_tokens": t["n_real_tokens"].to_pylist(),
+                "seg1_len": (pm == 1).sum(axis=1).astype("int64"),
+                "seg2_len": (pm == 2).sum(axis=1).astype("int64"),
+                "seg3_len": (pm == 3).sum(axis=1).astype("int64"),
+            }
+        )
+        return arrow_block(df)
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def q_kg_scored_triples(sf_dir: str):
+    """PCNN-style scorer over feature rows (deterministic seeded
+    weights — no SQL oracle; rows-only check + determinism asserted in
+    tests)."""
+    from rex_ray.stages import features, scorer
+
+    feats = features.featurize(_docs(sf_dir))
+    return scorer.score_pairs(feats).drop_columns(["scores"])
+
+
+def q_kg_bag_one(sf_dir: str):
+    from rex_ray.stages import features, scorer
+
+    scored = scorer.score_pairs(features.featurize(_docs(sf_dir)))
+    return scorer.bag_scores_one(scored)
+
+
+def q_kg_bag_att(sf_dir: str):
+    from rex_ray.stages import features, scorer
+
+    scored = scorer.score_pairs(features.featurize(_docs(sf_dir)))
+    return scorer.bag_scores_att(scored)
+
+
 def q_mm_media_stats(sf_dir: str):
     from ray.data.aggregate import Sum
     from rex_ray.sources import interleaved as il
@@ -295,6 +353,21 @@ SELECT v AS "view", 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1,
 FROM views
 """
 
+_SQL["kg_feature_rows"] = f"""
+WITH {_kg_ctes()},
+doclen AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+)
+SELECT t.doc_id, t.subj_pos, t.obj_pos, t.pred,
+       LEAST(d.n_tok, 64) AS n_real_tokens,
+       LEAST(t.subj_pos, t.obj_pos) AS seg1_len,
+       GREATEST(t.subj_pos, t.obj_pos) - LEAST(t.subj_pos, t.obj_pos)
+           AS seg2_len,
+       LEAST(d.n_tok, 64) - GREATEST(t.subj_pos, t.obj_pos) AS seg3_len
+FROM tri t JOIN doclen d ON t.doc_id = d.doc_id
+WHERE t.subj_pos < 64 AND t.obj_pos < 64
+"""
+
 _SQL["mm_media_stats"] = """
 WITH stats AS (
     SELECT doc_id, len(string_split(text, ' ')) AS n,
@@ -336,6 +409,10 @@ QUERIES: Dict[str, Callable] = {
     "kg_triple_store": q_kg_triple_store,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_parity_prf": q_kg_parity_prf,
+    "kg_feature_rows": q_kg_feature_rows,
+    "kg_scored_triples": q_kg_scored_triples,
+    "kg_bag_one": q_kg_bag_one,
+    "kg_bag_att": q_kg_bag_att,
     "mm_media_stats": q_mm_media_stats,
 }
 

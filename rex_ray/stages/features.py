@@ -1,0 +1,118 @@
+"""Doc -> model-ready feature rows (the reference's cached-transform
+stage, rex/data/transforms/sent_re.py:31-90, re-expressed as a
+vectorized flat-map).
+
+One feature row per valid entity pair: padded ``token_ids`` + pad
+``mask``, piecewise segment mask, relative-position vectors for head
+and tail, and the (here deterministic) relation label.  Pairs whose
+head or tail lies beyond ``max_seq_len`` are dropped — the reference's
+truncation filter (sent_re.py:44-48).
+
+The Vocab is SMALL-SIDE state: built once from the corpus distinct
+tokens (one tiny aggregate) and resolved per actor from a broadcast
+ref, mirroring how the reference loads its pretrained vocab once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from rex_ray.functions.blocks import arrow_block, default_concurrency
+from rex_ray.functions.mask import piecewise_mask_batch
+from rex_ray.functions.position import relative_positions_matrix
+from rex_ray.pipelines import spec
+from rex_ray.state.dictionaries import LabelEncoder, Vocab
+
+MAX_SEQ_LEN = 64
+
+
+def relation_label_encoder() -> LabelEncoder:
+    """Fixed relation inventory from the spec (order-stable)."""
+    rels = sorted(set(spec.PRED_MAP.values()) | {spec.PRED_FALLBACK})
+    return LabelEncoder(rels)
+
+
+def build_corpus_vocab(docs_ds) -> Vocab:
+    """Corpus distinct tokens -> Vocab (driver-side, broadcast once)."""
+    from rex_ray.state.dictionaries import distinct_corpus_tokens
+
+    return Vocab(distinct_corpus_tokens(docs_ds))
+
+
+class PairFeaturizer:
+    """(doc_id, text) batches -> one feature row per valid pair.
+
+    Output columns: doc_id, subj_pos, obj_pos, label_id, n_real_tokens,
+    token_ids (list<int32>), mask, pmask, rel_pos_subj, rel_pos_obj.
+    """
+
+    def __init__(self, vocab_ref, max_seq_len: int = MAX_SEQ_LEN):
+        self.vocab: Vocab = (
+            ray.get(vocab_ref)
+            if isinstance(vocab_ref, ray.ObjectRef)
+            else vocab_ref
+        )
+        self.max_seq_len = max_seq_len
+        self.labels = relation_label_encoder()
+        from rex_ray.stages.extract import TripleExtractor
+
+        self._extract = TripleExtractor()
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        L = self.max_seq_len
+        pairs = self._extract(batch).to_pandas()
+        pairs = pairs[
+            (pairs["subj_pos"] < L) & (pairs["obj_pos"] < L)
+        ].reset_index(drop=True)
+
+        texts = dict(zip(batch["doc_id"], batch["text"]))
+        # encode each referenced doc once, not once per pair
+        doc_ids = pairs["doc_id"].unique()
+        tok_lists = [texts[d].split(" ") for d in doc_ids]
+        ids_mat, mask_mat = self.vocab.encode_batch(tok_lists, L)
+        row_of_doc = {d: i for i, d in enumerate(doc_ids)}
+        sel = pairs["doc_id"].map(row_of_doc).to_numpy()
+
+        sp = pairs["subj_pos"].to_numpy()
+        op = pairs["obj_pos"].to_numpy()
+        n_real = mask_mat[sel].sum(axis=1).astype(np.int64)
+        pmask = piecewise_mask_batch(sp, op, n_real, L)
+        out = pd.DataFrame(
+            {
+                "doc_id": pairs["doc_id"],
+                "pair_key": pairs["pair_key"],
+                "subj_pos": sp,
+                "obj_pos": op,
+                "label_id": self.labels.encode(list(pairs["pred"])),
+                "n_real_tokens": n_real,
+                "token_ids": list(ids_mat[sel].astype(np.int32)),
+                "mask": list(mask_mat[sel].astype(np.int8)),
+                "pmask": list(pmask),
+                "rel_pos_subj": list(
+                    relative_positions_matrix(sp, L).astype(np.int32)
+                ),
+                "rel_pos_obj": list(
+                    relative_positions_matrix(op, L).astype(np.int32)
+                ),
+            }
+        )
+        return arrow_block(out)
+
+
+def featurize(docs_ds, vocab: Optional[Vocab] = None, **kwargs):
+    if vocab is None:
+        vocab = build_corpus_vocab(docs_ds)
+    ref = ray.put(vocab)
+    return docs_ds.map_batches(
+        PairFeaturizer,
+        fn_constructor_kwargs={"vocab_ref": ref},
+        batch_format="pandas",
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
+        **kwargs,
+    )

@@ -1,0 +1,250 @@
+"""PCNN-style relation scorer + bag (distant-supervision) reduces.
+
+The hot inference stage of the north star: a relation classifier with
+position embeddings hosted in an actor pool, consuming feature rows in
+zero-copy Arrow batches.  Semantics re-derive the reference models:
+
+* SentPCNN (rex/models/sent_pcnn.py:11-55 + rex/modules/pcnn.py:9-55):
+  token embedding ++ two relative-position embeddings -> width-3
+  convolution -> PIECEWISE max-pool over the 3 segments of the
+  (before-head, between, after-tail) mask -> tanh -> dense -> sigmoid
+  multi-label scores.
+* PCNNOne  (rex/models/bag_pcnn.py:60-88): bag label from its
+  highest-scoring member — per-relation max over members, which is
+  ASSOCIATIVE, so it runs as a partial-aggregate + Max shuffle.
+* PCNNAtt  (rex/models/bag_pcnn.py:138-178): selective attention —
+  softmax member weights, weighted average of member score vectors.
+  exp-weighted sums are associative too: sum(w_i * s_i) / sum(w_i).
+
+No GPU/torch in this sandbox, so weights are DETERMINISTIC seeded
+numpy tensors (the real model drops in by replacing ``PcnnWeights``);
+the Ray-side plumbing — broadcast weights, per-actor load, batched
+vectorized forward, associative bag reduce — is the real part.  On a
+GPU cluster the scorer maps with ``num_gpus=...`` and a torch forward.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ray.data.aggregate import Max, Sum
+
+from rex_ray.functions.blocks import (
+    arrow_block,
+    default_concurrency,
+    pre_shuffle,
+)
+from rex_ray.stages.features import MAX_SEQ_LEN, relation_label_encoder
+
+
+class PcnnWeights:
+    """Deterministic parameter set (seeded); shape-compatible with a
+    trained checkpoint loader."""
+
+    def __init__(
+        self,
+        vocab_size: int,
+        n_rels: int,
+        dim_token: int = 16,
+        dim_pos: int = 4,
+        n_filters: int = 32,
+        window: int = 3,
+        max_seq_len: int = MAX_SEQ_LEN,
+        seed: int = 1234,
+    ):
+        rng = np.random.RandomState(seed)
+        d_in = dim_token + 2 * dim_pos
+        self.emb = rng.standard_normal((vocab_size, dim_token)) * 0.1
+        self.pos_subj = rng.standard_normal((max_seq_len + 1, dim_pos)) * 0.1
+        self.pos_obj = rng.standard_normal((max_seq_len + 1, dim_pos)) * 0.1
+        self.conv_w = rng.standard_normal((n_filters, window, d_in)) * 0.1
+        self.conv_b = rng.standard_normal(n_filters) * 0.01
+        self.dense_w = rng.standard_normal((3 * n_filters, n_rels)) * 0.1
+        self.dense_b = rng.standard_normal(n_rels) * 0.01
+        self.window = window
+        self.n_filters = n_filters
+        self.n_rels = n_rels
+
+
+class PcnnScorer:
+    """Feature-row batches -> per-relation sigmoid scores.
+
+    Weights resolved ONCE per actor from the broadcast ref; forward is
+    fully vectorized numpy over the whole batch (no per-row loops)."""
+
+    def __init__(self, weights_ref):
+        self.w: PcnnWeights = (
+            ray.get(weights_ref)
+            if isinstance(weights_ref, ray.ObjectRef)
+            else weights_ref
+        )
+        self.labels = relation_label_encoder()
+
+    def _forward(
+        self,
+        ids: np.ndarray,       # (n, L) int
+        rel_s: np.ndarray,     # (n, L) int
+        rel_o: np.ndarray,     # (n, L) int
+        pmask: np.ndarray,     # (n, L) int8 in {0,1,2,3}
+    ) -> np.ndarray:
+        w = self.w
+        x = np.concatenate(
+            [w.emb[ids], w.pos_subj[rel_s], w.pos_obj[rel_o]], axis=2
+        )  # (n, L, d_in)
+        # width-3 same-padding convolution via explicit shifts
+        pad = np.zeros_like(x[:, :1, :])
+        stack = np.stack(
+            [
+                np.concatenate([pad, x[:, :-1, :]], axis=1),
+                x,
+                np.concatenate([x[:, 1:, :], pad], axis=1),
+            ],
+            axis=2,
+        )  # (n, L, window, d_in)
+        conv = (
+            np.einsum("nlwd,fwd->nlf", stack, w.conv_w) + w.conv_b
+        )  # (n, L, f)
+        # piecewise max-pool over segments 1/2/3 (0 = padding)
+        pooled = []
+        for seg in (1, 2, 3):
+            m = (pmask == seg)[:, :, None]
+            seg_vals = np.where(m, conv, -np.inf)
+            mx = seg_vals.max(axis=1)
+            pooled.append(np.where(np.isfinite(mx), mx, 0.0))
+        rep = np.tanh(np.concatenate(pooled, axis=1))  # (n, 3f)
+        logits = rep @ w.dense_w + w.dense_b
+        return 1.0 / (1.0 + np.exp(-logits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        ids = np.stack(batch["token_ids"].to_numpy(zero_copy_only=False))
+        rel_s = np.stack(batch["rel_pos_subj"].to_numpy(zero_copy_only=False))
+        rel_o = np.stack(batch["rel_pos_obj"].to_numpy(zero_copy_only=False))
+        pmask = np.stack(batch["pmask"].to_numpy(zero_copy_only=False))
+        scores = self._forward(ids, rel_s, rel_o, pmask)
+        pred_id = scores.argmax(axis=1)
+        out = batch.select(["doc_id", "pair_key", "subj_pos", "obj_pos", "label_id"])
+        out = out.append_column(
+            "scores", pa.array(list(scores.astype(np.float32)))
+        )
+        out = out.append_column(
+            "pred_id", pa.array(pred_id.astype(np.int64))
+        )
+        out = out.append_column(
+            "pred_score",
+            pa.array(scores[np.arange(len(scores)), pred_id].astype(np.float64)),
+        )
+        return out
+
+
+def score_pairs(feature_ds, weights: Optional[PcnnWeights] = None,
+                vocab_size: int = 1 << 16, **kwargs):
+    if weights is None:
+        n_rels = len(relation_label_encoder())
+        weights = PcnnWeights(vocab_size, n_rels)
+    ref = ray.put(weights)
+    return feature_ds.map_batches(
+        PcnnScorer,
+        fn_constructor_kwargs={"weights_ref": ref},
+        batch_format="pyarrow",
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
+        **kwargs,
+    )
+
+
+# -- bag reduces (associative -> partial agg + one shuffle) ----------------
+
+def _rel_cols(n_rels: int):
+    return [f"rel_{i}" for i in range(n_rels)]
+
+
+def bag_scores_one(scored_ds, n_rels: Optional[int] = None):
+    """PCNN-ONE semantics: bag score per relation = max over members;
+    bag label = argmax.  Per-relation max is associative: per-batch
+    partial max, then a Max-aggregate shuffle on pair_key."""
+    if n_rels is None:
+        n_rels = len(relation_label_encoder())
+    cols = _rel_cols(n_rels)
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = np.stack(t["scores"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"pair_key": t["pair_key"].to_pylist()})
+        for i, c in enumerate(cols):
+            df[c] = s[:, i]
+        g = df.groupby("pair_key", sort=False).max().reset_index()
+        g["n_members"] = (
+            df.groupby("pair_key", sort=False).size().to_numpy().astype("int64")
+        )
+        return arrow_block(g)
+
+    partial = pre_shuffle(scored_ds.map_batches(explode, batch_format="pyarrow"))
+    merged = partial.groupby("pair_key").aggregate(
+        *[Max(c, alias_name=c) for c in cols],
+        Sum("n_members", alias_name="n_members"),
+    )
+
+    labels = relation_label_encoder()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = np.stack([t[c].to_numpy() for c in cols], axis=1)
+        best = s.argmax(axis=1)
+        return pa.Table.from_pydict(
+            {
+                "pair_key": t["pair_key"],
+                "bag_label": [labels.id2label[i] for i in best],
+                "bag_score": s[np.arange(len(best)), best],
+                "n_members": t["n_members"],
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def bag_scores_att(scored_ds, n_rels: Optional[int] = None):
+    """PCNN-ATT semantics: softmax attention over bag members, weighted
+    average of member score vectors.  Decomposed associatively:
+    weight_i = exp(max_logit_i); bag score = sum(w_i * s_i) / sum(w_i)
+    — both sums shuffle as Sum aggregates."""
+    if n_rels is None:
+        n_rels = len(relation_label_encoder())
+    cols = _rel_cols(n_rels)
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = np.stack(t["scores"].to_numpy(zero_copy_only=False))
+        w = np.exp(s.max(axis=1))  # (n,)
+        df = pd.DataFrame(
+            {"pair_key": t["pair_key"].to_pylist(), "wsum": w}
+        )
+        for i, c in enumerate(cols):
+            df[c] = s[:, i] * w
+        g = df.groupby("pair_key", sort=False).sum().reset_index()
+        return arrow_block(g)
+
+    partial = pre_shuffle(scored_ds.map_batches(explode, batch_format="pyarrow"))
+    merged = partial.groupby("pair_key").aggregate(
+        *[Sum(c, alias_name=c) for c in cols],
+        Sum("wsum", alias_name="wsum"),
+    )
+
+    labels = relation_label_encoder()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        wsum = t["wsum"].to_numpy()
+        s = np.stack([t[c].to_numpy() for c in cols], axis=1) / wsum[:, None]
+        best = s.argmax(axis=1)
+        return pa.Table.from_pydict(
+            {
+                "pair_key": t["pair_key"],
+                "bag_label": [labels.id2label[i] for i in best],
+                "bag_score": s[np.arange(len(best)), best],
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
