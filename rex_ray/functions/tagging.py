@@ -21,24 +21,31 @@ def _tag_type(tag: str) -> str:
 
 
 def get_entities_from_tags(
-    chars: Sequence[str], tags: Sequence[str]
+    chars: Sequence[str], tags: Sequence[str], join: str = ""
 ) -> List[Entity]:
     """Decode ``(surface, type, (start, end_plus_1))`` entities.
 
     ``chars`` and ``tags`` are truncated to the shorter of the two,
     mirroring the reference's leniency (tagging.py:15-18).
+
+    ``join`` separates accumulated units in the surface.  The reference
+    decoder is CHARACTER-oriented — with ``join=""`` and char input the
+    output (including the trailing-entity end computed from the
+    accumulated length) is bit-identical to it.  For word-token input
+    pass ``join=" "``: the surface keeps its spaces and the trailing
+    end is the token count (the char-length quirk would misplace it).
     """
     n = min(len(chars), len(tags))
     out: List[Entity] = []
-    ent = ""
+    parts: List[str] = []
     ent_type = ""
     ent_start = -1
 
     def flush(end: int) -> None:
-        nonlocal ent, ent_type, ent_start
-        if ent:
-            out.append((ent, ent_type, (ent_start, end)))
-        ent, ent_type, ent_start = "", "", -1
+        nonlocal parts, ent_type, ent_start
+        if parts:
+            out.append((join.join(parts), ent_type, (ent_start, end)))
+        parts, ent_type, ent_start = [], "", -1
 
     for i in range(n):
         char, tag = chars[i], tags[i]
@@ -46,26 +53,33 @@ def get_entities_from_tags(
         cur_type = _tag_type(tag)
         if head == "B":
             flush(i)
-            ent, ent_type, ent_start = char, cur_type, i
+            parts, ent_type, ent_start = [char], cur_type, i
         elif head in ("I", "M"):
-            if cur_type == ent_type and ent:
-                ent += char
+            if cur_type == ent_type and parts:
+                parts.append(char)
             else:
                 flush(i)  # illegal transition: early close
         elif head == "E":
             if cur_type == ent_type:
-                ent += char
-            if ent:
-                out.append((ent, ent_type, (ent_start, i + 1)))
-            ent, ent_type, ent_start = "", "", -1
+                parts.append(char)
+            if parts:
+                out.append((join.join(parts), ent_type, (ent_start, i + 1)))
+            parts, ent_type, ent_start = [], "", -1
         elif head == "S":
             flush(i)
             out.append((char, cur_type, (i, i + 1)))
         else:  # O or anything else
             flush(i)
 
-    if ent:
-        out.append((ent, ent_type, (ent_start, ent_start + len(ent))))
+    if parts:
+        # end from accumulated length: len of the joined string for the
+        # reference char contract, token count for word tokens
+        length = (
+            sum(len(p) for p in parts) if join == "" else len(parts)
+        )
+        out.append(
+            (join.join(parts), ent_type, (ent_start, ent_start + length))
+        )
     return out
 
 

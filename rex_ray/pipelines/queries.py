@@ -236,6 +236,56 @@ def q_kg_bag_att(sf_dir: str):
     return scorer.bag_scores_att(scored)
 
 
+def q_kg_ner_roundtrip(sf_dir: str):
+    """mentions -> BIO tags -> reference decoder -> entity rows; the
+    oracle derives the same rows directly from the mention CTE, so any
+    tag-emission or decode drift hash-mismatches."""
+    from rex_ray.stages import ner
+
+    return ner.ner_roundtrip(_docs(sf_dir))
+
+
+def q_kg_ner_type_prf(sf_dir: str):
+    """Per-entity-type P/R/F1 of the decoded NER path vs the direct
+    gazetteer mentions (macro breakdown semantics of
+    rex/metrics/tagging.py:52-93; exact match expected)."""
+    from rex_ray.stages import extract, ner
+
+    pred = ner.ner_roundtrip(_docs(sf_dir))
+    gold = extract.extract_mentions(_docs(sf_dir)).map_batches(
+        lambda t: t.append_column(
+            "start_pos", t["pos"]
+        ).append_column(
+            "end_pos", __import__("pyarrow").compute.add(t["pos"], 1)
+        ).drop_columns(["pos"]),
+        batch_format="pyarrow",
+    )
+    return ner.ner_type_prf(pred, gold)
+
+
+def q_docs_top_longest(sf_dir: str):
+    """Global sort (n_tokens desc, doc_id asc) + limit — the
+    'sorted output ordering' family (SURVEY.md §2.6)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rex_ray.functions.blocks import pre_shuffle
+
+    docs = _docs(sf_dir)
+
+    def measure(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        return pa.Table.from_arrays(
+            [t["doc_id"].combine_chunks(), pc.cast(n, pa.int64()).combine_chunks()],
+            names=["doc_id", "n_tokens"],
+        )
+
+    sized = pre_shuffle(docs.map_batches(measure, batch_format="pyarrow"))
+    return sized.sort(
+        ["n_tokens", "doc_id"], descending=[True, False]
+    ).limit(10)
+
+
 def q_mm_media_stats(sf_dir: str):
     from ray.data.aggregate import Sum
     from rex_ray.sources import interleaved as il
@@ -368,6 +418,32 @@ FROM tri t JOIN doclen d ON t.doc_id = d.doc_id
 WHERE t.subj_pos < 64 AND t.obj_pos < 64
 """
 
+_SQL["kg_ner_roundtrip"] = f"""
+WITH {_kg_ctes()}
+SELECT doc_id, surface, ent_type,
+       pos AS start_pos, pos + 1 AS end_pos
+FROM mention
+"""
+
+_SQL["kg_ner_type_prf"] = f"""
+WITH {_kg_ctes()},
+bytype AS (
+    SELECT ent_type, CAST(count(*) AS BIGINT) AS n FROM mention
+    GROUP BY ent_type
+)
+SELECT ent_type, 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1,
+       n AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn
+FROM bytype
+"""
+
+_SQL["docs_top_longest"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+ORDER BY n_tokens DESC, doc_id ASC
+LIMIT 10
+"""
+
 _SQL["mm_media_stats"] = """
 WITH stats AS (
     SELECT doc_id, len(string_split(text, ' ')) AS n,
@@ -413,6 +489,9 @@ QUERIES: Dict[str, Callable] = {
     "kg_scored_triples": q_kg_scored_triples,
     "kg_bag_one": q_kg_bag_one,
     "kg_bag_att": q_kg_bag_att,
+    "kg_ner_roundtrip": q_kg_ner_roundtrip,
+    "kg_ner_type_prf": q_kg_ner_type_prf,
+    "docs_top_longest": q_docs_top_longest,
     "mm_media_stats": q_mm_media_stats,
 }
 
