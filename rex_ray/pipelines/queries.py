@@ -286,6 +286,21 @@ def q_docs_top_longest(sf_dir: str):
     ).limit(10)
 
 
+def q_kg_mrc_entities(sf_dir: str):
+    """MRC-style per-type query fan-out + pointer decode; oracle
+    derives the same (inclusive-end) spans from the mention CTE."""
+    from rex_ray.stages import mrc
+
+    return mrc.mrc_entities(_docs(sf_dir))
+
+
+def q_kg_mrc_doc_counts(sf_dir: str):
+    """Per-doc union of per-type MRC results (id2ents merge pattern)."""
+    from rex_ray.stages import mrc
+
+    return mrc.union_per_doc(mrc.mrc_entities(_docs(sf_dir)))
+
+
 def q_mm_media_stats(sf_dir: str):
     from ray.data.aggregate import Sum
     from rex_ray.sources import interleaved as il
@@ -436,6 +451,18 @@ SELECT ent_type, 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1,
 FROM bytype
 """
 
+_SQL["kg_mrc_entities"] = f"""
+WITH {_kg_ctes()}
+SELECT doc_id, ent_type, pos AS start_pos, pos AS end_pos
+FROM mention
+"""
+
+_SQL["kg_mrc_doc_counts"] = f"""
+WITH {_kg_ctes()}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_entities
+FROM mention GROUP BY doc_id
+"""
+
 _SQL["docs_top_longest"] = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -491,6 +518,8 @@ QUERIES: Dict[str, Callable] = {
     "kg_bag_att": q_kg_bag_att,
     "kg_ner_roundtrip": q_kg_ner_roundtrip,
     "kg_ner_type_prf": q_kg_ner_type_prf,
+    "kg_mrc_entities": q_kg_mrc_entities,
+    "kg_mrc_doc_counts": q_kg_mrc_doc_counts,
     "docs_top_longest": q_docs_top_longest,
     "mm_media_stats": q_mm_media_stats,
 }
