@@ -301,6 +301,16 @@ def q_kg_mrc_doc_counts(sf_dir: str):
     return mrc.union_per_doc(mrc.mrc_entities(_docs(sf_dir)))
 
 
+def q_kg_cascade_triples(sf_dir: str):
+    """CasRel-style two-step cascade (subjects -> per-subject objects,
+    batch-1 per doc inside the actor); provably equal to the one-shot
+    extractor under the deterministic rules — the oracle is the same
+    triple CTE."""
+    from rex_ray.stages import cascade
+
+    return cascade.cascade_triples(_docs(sf_dir))
+
+
 def q_mm_media_stats(sf_dir: str):
     from ray.data.aggregate import Sum
     from rex_ray.sources import interleaved as il
@@ -451,6 +461,11 @@ SELECT ent_type, 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1,
 FROM bytype
 """
 
+_SQL["kg_cascade_triples"] = f"""
+WITH {_kg_ctes()}
+SELECT doc_id, subj, subj_pos, pred, obj, obj_pos, score FROM tri
+"""
+
 _SQL["kg_mrc_entities"] = f"""
 WITH {_kg_ctes()}
 SELECT doc_id, ent_type, pos AS start_pos, pos AS end_pos
@@ -520,6 +535,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_ner_type_prf": q_kg_ner_type_prf,
     "kg_mrc_entities": q_kg_mrc_entities,
     "kg_mrc_doc_counts": q_kg_mrc_doc_counts,
+    "kg_cascade_triples": q_kg_cascade_triples,
     "docs_top_longest": q_docs_top_longest,
     "mm_media_stats": q_mm_media_stats,
 }

@@ -229,6 +229,35 @@ def q_events_type_stats(sf_dir: str):
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+SLIDE_WIDTH_US = 2 * 3_600_000_000
+SLIDE_STEP_US = 3_600_000_000
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based session windows per user (custom operator: groupby
+    co-locates a user's events, in-group sort by ts; see
+    stages/windows.py for the partitioning contract)."""
+    from rex_ray.stages.windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", columns=["ts", "user_id"]),
+        gap_us=SESSION_GAP_US,
+    )
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding-window event counts (width 2h, slide 1h): windows as
+    derived keys from a vectorized flat-map + partial-sum groupby."""
+    from rex_ray.stages.windows import sliding_window_counts
+
+    return sliding_window_counts(
+        _read(sf_dir, "events", columns=["ts"]),
+        width_us=SLIDE_WIDTH_US,
+        slide_us=SLIDE_STEP_US,
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -347,6 +376,43 @@ def q_mm_decode_features(sf_dir: str):
 _CENTS = "CAST(floor({expr} * 100.0 + 0.5) AS BIGINT)"
 
 EXT_SQL: Dict[str, str] = {}
+
+EXT_SQL["events_sessions"] = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+    SELECT user_id, ts_us,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+    SELECT user_id, ts_us,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_ts_us, max(ts_us) AS end_ts_us,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM sess GROUP BY 1, 2
+"""
+
+EXT_SQL["events_sliding"] = f"""
+WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
+k AS (SELECT unnest(range({SLIDE_WIDTH_US // SLIDE_STEP_US})) AS i)
+SELECT (ts_us // {SLIDE_STEP_US}) * {SLIDE_STEP_US}
+           - i * {SLIDE_STEP_US} AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e, k
+WHERE ts_us < (ts_us // {SLIDE_STEP_US}) * {SLIDE_STEP_US}
+          - i * {SLIDE_STEP_US} + {SLIDE_WIDTH_US}
+GROUP BY 1
+"""
 
 EXT_SQL["q1_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
@@ -551,6 +617,8 @@ EXT_QUERIES: Dict[str, Callable] = {
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
     "events_type_stats": q_events_type_stats,
+    "events_sessions": q_events_sessions,
+    "events_sliding": q_events_sliding,
     "ta_doc_stats": q_ta_doc_stats,
     "ta_langid_confusion": q_ta_langid_confusion,
     "ta_quality": q_ta_quality,

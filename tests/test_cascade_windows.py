@@ -1,0 +1,74 @@
+"""CasRel-style cascade extraction (stages/cascade) and event
+windowing (stages/windows)."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_cascade_equals_oneshot_extractor():
+    """The two-step cascade must emit exactly the one-shot extractor's
+    triples (same deterministic rules, different decode path)."""
+    from rex_ray.stages.cascade import CascadeExtractor
+    from rex_ray.stages.extract import TripleExtractor
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the join uses hash and table now",
+                "spark join merge sort table",
+                "nothing here at all",
+            ],
+        }
+    )
+    got = CascadeExtractor()(batch).to_pandas()
+    want = TripleExtractor()(batch).to_pandas()
+    key = ["doc_id", "subj_pos", "obj_pos", "pred", "score"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_sessionize_gap_semantics():
+    import ray.data as rd
+
+    from rex_ray.stages.windows import sessionize
+
+    m = 60_000_000  # 1 minute in us
+    rows = []
+    # user 1: events at 0, 10m, 50m (gap 40m > 30m -> 2 sessions)
+    for t in (0, 10 * m, 50 * m):
+        rows.append({"user_id": 1, "ts": np.datetime64(t, "us")})
+    # user 2: single event
+    rows.append({"user_id": 2, "ts": np.datetime64(5 * m, "us")})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = (
+        sessionize(ds)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got["user_id"] == 1]
+    assert list(u1["n_events"]) == [2, 1]
+    assert list(u1["duration_us"]) == [10 * m, 0]
+    u2 = got[got["user_id"] == 2]
+    assert list(u2["n_events"]) == [1] and u2["session_id"].iloc[0] == 0
+
+
+def test_sliding_windows_cover_each_event_k_times():
+    import ray.data as rd
+
+    from rex_ray.stages.windows import sliding_window_counts
+
+    h = 3_600_000_000
+    ts = [np.datetime64(int(0.5 * h), "us"), np.datetime64(int(1.25 * h), "us")]
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts}))
+    got = (
+        sliding_window_counts(ds, width_us=2 * h, slide_us=h)
+        .to_pandas()
+        .sort_values("window_start_us")
+    )
+    # event@0.5h -> windows starting -1h, 0h; event@1.25h -> 0h, 1h
+    assert list(got["window_start_us"]) == [-h, 0, h]
+    assert list(got["n_events"]) == [1, 2, 1]
