@@ -222,6 +222,15 @@ def q_kg_scored_triples(sf_dir: str):
     return scorer.score_pairs(feats).drop_columns(["scores"])
 
 
+def q_kg_scored_triples_bilstm(sf_dir: str):
+    """BiLSTM-attention scorer variant over the same feature rows
+    (rows-only; determinism + masking asserted in tests)."""
+    from rex_ray.stages import features, scorer
+
+    feats = features.featurize(_docs(sf_dir))
+    return scorer.score_pairs_bilstm(feats).drop_columns(["scores"])
+
+
 def q_kg_bag_one(sf_dir: str):
     from rex_ray.stages import features, scorer
 
@@ -529,6 +538,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_parity_prf": q_kg_parity_prf,
     "kg_feature_rows": q_kg_feature_rows,
     "kg_scored_triples": q_kg_scored_triples,
+    "kg_scored_triples_bilstm": q_kg_scored_triples_bilstm,
     "kg_bag_one": q_kg_bag_one,
     "kg_bag_att": q_kg_bag_att,
     "kg_ner_roundtrip": q_kg_ner_roundtrip,

@@ -159,6 +159,127 @@ def score_pairs(feature_ds, weights: Optional[PcnnWeights] = None,
     )
 
 
+class BiLstmAttWeights:
+    """Deterministic parameters for the BiLSTM-attention classifier
+    (shape-compatible with a trained checkpoint loader)."""
+
+    def __init__(
+        self,
+        vocab_size: int,
+        n_rels: int,
+        dim_token: int = 16,
+        dim_pos: int = 4,
+        hidden: int = 24,
+        max_seq_len: int = MAX_SEQ_LEN,
+        seed: int = 4321,
+    ):
+        rng = np.random.RandomState(seed)
+        d_in = dim_token + 2 * dim_pos
+        self.emb = rng.standard_normal((vocab_size, dim_token)) * 0.1
+        self.pos_subj = rng.standard_normal((max_seq_len + 1, dim_pos)) * 0.1
+        self.pos_obj = rng.standard_normal((max_seq_len + 1, dim_pos)) * 0.1
+        # per direction: simple recurrent cell h_t = tanh(Wx + Uh + b)
+        self.W = rng.standard_normal((2, d_in, hidden)) * 0.1
+        self.U = rng.standard_normal((2, hidden, hidden)) * 0.1
+        self.b = rng.standard_normal((2, hidden)) * 0.01
+        # attention: score_t = v . tanh(Wa h_t)
+        self.Wa = rng.standard_normal((2 * hidden, 2 * hidden)) * 0.1
+        self.v = rng.standard_normal(2 * hidden) * 0.1
+        self.dense_w = rng.standard_normal((2 * hidden, n_rels)) * 0.1
+        self.dense_b = rng.standard_normal(n_rels) * 0.01
+        self.hidden = hidden
+        self.n_rels = n_rels
+
+
+class BiLstmAttScorer:
+    """BiLSTM(-ish) encoder + attention pooling relation classifier —
+    the reference's recurrent alternative to PCNN (LSTMCasRel /
+    BiLSTM-attention family, rex/models/casrel.py:13-40 lstm branch).
+
+    Vectorized across the batch; the only sequential loop is the
+    recurrence over the (fixed, 64) timesteps — exactly the part a GPU
+    kernel would own.  Attention is masked to real tokens.
+    """
+
+    def __init__(self, weights_ref):
+        self.w: BiLstmAttWeights = (
+            ray.get(weights_ref)
+            if isinstance(weights_ref, ray.ObjectRef)
+            else weights_ref
+        )
+        self.labels = relation_label_encoder()
+
+    def _forward(
+        self,
+        ids: np.ndarray,    # (n, L)
+        rel_s: np.ndarray,
+        rel_o: np.ndarray,
+        mask: np.ndarray,   # (n, L) 1/0 pad mask
+    ) -> np.ndarray:
+        w = self.w
+        x = np.concatenate(
+            [w.emb[ids], w.pos_subj[rel_s], w.pos_obj[rel_o]], axis=2
+        )  # (n, L, d_in)
+        n, L, _ = x.shape
+        hs = []
+        for d in range(2):  # forward, backward
+            h = np.zeros((n, w.hidden))
+            seq = range(L) if d == 0 else range(L - 1, -1, -1)
+            out = np.empty((n, L, w.hidden))
+            for t in seq:
+                h = np.tanh(x[:, t, :] @ w.W[d] + h @ w.U[d] + w.b[d])
+                # padding positions hold their previous state
+                h = np.where(mask[:, t : t + 1] > 0, h, h * 0.0)
+                out[:, t, :] = h
+            hs.append(out)
+        H = np.concatenate(hs, axis=2)  # (n, L, 2h)
+        att = np.tanh(H @ self.w.Wa) @ self.w.v  # (n, L)
+        att = np.where(mask > 0, att, -np.inf)
+        att = att - att.max(axis=1, keepdims=True)
+        alpha = np.exp(att)
+        alpha = alpha / alpha.sum(axis=1, keepdims=True)
+        rep = (H * alpha[:, :, None]).sum(axis=1)  # (n, 2h)
+        logits = rep @ self.w.dense_w + self.w.dense_b
+        return 1.0 / (1.0 + np.exp(-logits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        ids = np.stack(batch["token_ids"].to_numpy(zero_copy_only=False))
+        rel_s = np.stack(batch["rel_pos_subj"].to_numpy(zero_copy_only=False))
+        rel_o = np.stack(batch["rel_pos_obj"].to_numpy(zero_copy_only=False))
+        mask = np.stack(batch["mask"].to_numpy(zero_copy_only=False))
+        scores = self._forward(ids, rel_s, rel_o, mask)
+        pred_id = scores.argmax(axis=1)
+        out = batch.select(
+            ["doc_id", "pair_key", "subj_pos", "obj_pos", "label_id"]
+        )
+        out = out.append_column(
+            "scores", pa.array(list(scores.astype(np.float32)))
+        )
+        out = out.append_column("pred_id", pa.array(pred_id.astype(np.int64)))
+        out = out.append_column(
+            "pred_score",
+            pa.array(scores[np.arange(len(scores)), pred_id].astype(np.float64)),
+        )
+        return out
+
+
+def score_pairs_bilstm(feature_ds, weights: Optional[BiLstmAttWeights] = None,
+                       vocab_size: int = 1 << 16, **kwargs):
+    if weights is None:
+        n_rels = len(relation_label_encoder())
+        weights = BiLstmAttWeights(vocab_size, n_rels)
+    ref = ray.put(weights)
+    return feature_ds.map_batches(
+        BiLstmAttScorer,
+        fn_constructor_kwargs={"weights_ref": ref},
+        batch_format="pyarrow",
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
+        **kwargs,
+    )
+
+
 # -- bag reduces (associative -> partial agg + one shuffle) ----------------
 
 def _rel_cols(n_rels: int):
