@@ -310,6 +310,20 @@ def q_kg_mrc_doc_counts(sf_dir: str):
     return mrc.union_per_doc(mrc.mrc_entities(_docs(sf_dir)))
 
 
+def q_kg_entity_resolution_salted(sf_dir: str):
+    """Per-canonical-entity resolution stats via the EXPLICITLY salted
+    groupby (hot head entities split across n_salts sub-keys, folded by
+    an associative merge) — result provably identical to a plain
+    groupby, oracle-checked."""
+    from rex_ray.pipelines import kg
+    from rex_ray.stages import extract, link, salt
+
+    docs = _docs(sf_dir)
+    canonical = kg.build_canonical_map(docs)
+    linked = link.link_triples(extract.extract_triples(docs), canonical)
+    return salt.salted_entity_resolution(linked)
+
+
 def q_kg_cascade_triples(sf_dir: str):
     """CasRel-style two-step cascade (subjects -> per-subject objects,
     batch-1 per doc inside the actor); provably equal to the one-shot
@@ -470,6 +484,16 @@ SELECT ent_type, 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1,
 FROM bytype
 """
 
+_SQL["kg_entity_resolution_salted"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()}
+SELECT cs.canonical_id AS subj_id,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       max(tri.score) AS best_score
+FROM tri JOIN canon cs ON tri.subj = cs.surface
+GROUP BY 1
+"""
+
 _SQL["kg_cascade_triples"] = f"""
 WITH {_kg_ctes()}
 SELECT doc_id, subj, subj_pos, pred, obj, obj_pos, score FROM tri
@@ -546,6 +570,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_mrc_entities": q_kg_mrc_entities,
     "kg_mrc_doc_counts": q_kg_mrc_doc_counts,
     "kg_cascade_triples": q_kg_cascade_triples,
+    "kg_entity_resolution_salted": q_kg_entity_resolution_salted,
     "docs_top_longest": q_docs_top_longest,
     "mm_media_stats": q_mm_media_stats,
 }
