@@ -29,9 +29,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "kg_triple_store_interleaved",   # headline: full flagship
     "kg_bags",
+    "kg_scored_triples",             # actor-pool model inference stage
     "q1_pricing_summary",
     "revenue_by_nation",
     "events_hourly",
+    "events_sessions",               # groupby+in-group-sort window op
     "ta_word_freq",
     "dd_exact_groups",
     "dd_minhash_pairs",

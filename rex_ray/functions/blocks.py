@@ -23,6 +23,33 @@ def arrow_block(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
     return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
 
 
+def fixed_list_column(mat) -> pa.Array:
+    """(n, k) numpy matrix -> Arrow FixedSizeList column, built from
+    the raveled buffer in one shot (no per-row Python).  The inverse is
+    :func:`matrix_from_column`; together they move fixed-shape tensors
+    through the object store zero-copy."""
+    import numpy as np
+
+    mat = np.ascontiguousarray(mat)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel()), mat.shape[1]
+    )
+
+
+def matrix_from_column(table: pa.Table, col: str):
+    """Arrow FixedSizeList (or plain list) column -> (n, k) numpy
+    matrix; zero-copy for fixed-size numeric lists."""
+    import numpy as np
+
+    a = table[col]
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if pa.types.is_fixed_size_list(a.type):
+        flat = a.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(a), a.type.list_size)
+    return np.stack(a.to_numpy(zero_copy_only=False))
+
+
 def default_concurrency():
     """Actor-pool sizing for light stateful stages: scale the pool cap
     to the cluster's CPU count (a fixed cap would serialize the hot

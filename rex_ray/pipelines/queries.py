@@ -213,36 +213,40 @@ def q_kg_feature_rows(sf_dir: str):
 
 
 def q_kg_scored_triples(sf_dir: str):
-    """PCNN-style scorer over feature rows (deterministic seeded
-    weights — no SQL oracle; rows-only check + determinism asserted in
-    tests)."""
-    from rex_ray.stages import features, scorer
+    """PCNN-style scorer over feature rows, FUSED featurize+score actor
+    (feature tensors never enter the object store).  Deterministic
+    seeded weights — no SQL oracle; rows-only check + determinism and
+    fused-vs-staged equality asserted in tests."""
+    from rex_ray.stages import scorer
 
-    feats = features.featurize(_docs(sf_dir))
-    return scorer.score_pairs(feats).drop_columns(["scores"])
+    return scorer.score_docs(_docs(sf_dir)).drop_columns(["scores"])
 
 
 def q_kg_scored_triples_bilstm(sf_dir: str):
-    """BiLSTM-attention scorer variant over the same feature rows
-    (rows-only; determinism + masking asserted in tests)."""
-    from rex_ray.stages import features, scorer
+    """BiLSTM-attention scorer variant over the same feature rows,
+    fused (rows-only; determinism + masking asserted in tests)."""
+    from rex_ray.stages import scorer
+    from rex_ray.stages.scorer import BiLstmAttScorer, BiLstmAttWeights
 
-    feats = features.featurize(_docs(sf_dir))
-    return scorer.score_pairs_bilstm(feats).drop_columns(["scores"])
+    n_rels = len(__import__("rex_ray.stages.features", fromlist=["x"])
+                 .relation_label_encoder())
+    return scorer.score_docs(
+        _docs(sf_dir),
+        weights=BiLstmAttWeights(1 << 16, n_rels),
+        scorer_cls=BiLstmAttScorer,
+    ).drop_columns(["scores"])
 
 
 def q_kg_bag_one(sf_dir: str):
-    from rex_ray.stages import features, scorer
+    from rex_ray.stages import scorer
 
-    scored = scorer.score_pairs(features.featurize(_docs(sf_dir)))
-    return scorer.bag_scores_one(scored)
+    return scorer.bag_scores_one(scorer.score_docs(_docs(sf_dir)))
 
 
 def q_kg_bag_att(sf_dir: str):
-    from rex_ray.stages import features, scorer
+    from rex_ray.stages import scorer
 
-    scored = scorer.score_pairs(features.featurize(_docs(sf_dir)))
-    return scorer.bag_scores_att(scored)
+    return scorer.bag_scores_att(scorer.score_docs(_docs(sf_dir)))
 
 
 def q_kg_ner_roundtrip(sf_dir: str):

@@ -118,6 +118,18 @@ def read_interleaved(path: str, **kwargs):
         return rd.read_parquet(path, **kwargs)
 
 
+def write_interleaved(ds, path: str, **kwargs) -> None:
+    """Persist an interleaved-doc Dataset: Lance when available, else
+    Parquet with the identical nested schema (the spans list<struct>
+    round-trips bit-exactly through either; asserted in tests)."""
+    try:
+        import lance  # noqa: F401
+
+        ds.write_lance(path, **kwargs)
+    except ImportError:
+        ds.write_parquet(path, **kwargs)
+
+
 def explode_spans(batch: pa.Table) -> pa.Table:
     """Flatten interleaved docs to one row per span (doc_id carried),
     zero-copy where Arrow allows."""

@@ -75,3 +75,35 @@ def test_explode_spans_carries_doc_id():
 def test_doc_id_int_array():
     arr = pa.chunked_array([["doc-00000042", "doc-00012345"]])
     assert il.doc_id_int_array(arr).to_pylist() == [42, 12345]
+
+
+def test_persisted_round_trip_preserves_span_sequence(tmp_path):
+    """input_hint invariant across the SINK: synthesize -> write
+    (Lance-or-Parquet) -> read -> per-row span sequence (kind, text,
+    media_ref, order) is bit-identical."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.sources import interleaved as il
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).limit(100)
+    inter = il.synthesize_interleaved(docs)
+    before = inter.to_pandas().set_index("doc_id")["spans"]
+
+    out = str(tmp_path / "interleaved")
+    il.write_interleaved(inter, out)
+    back = il.read_interleaved(out)
+    after = back.to_pandas().set_index("doc_id")["spans"]
+
+    assert sorted(before.index) == sorted(after.index)
+    for doc_id in before.index:
+        a = [tuple(sorted(s.items())) for s in before[doc_id]]
+        b = [tuple(sorted(s.items())) for s in after[doc_id]]
+        assert a == b, f"span sequence drifted for {doc_id}"
+    # and the invariant validator accepts the re-read table
+    back.map_batches(
+        il.validate_span_sequence, batch_format="pyarrow"
+    ).count()
