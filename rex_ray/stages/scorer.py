@@ -99,21 +99,14 @@ class PcnnScorer:
         w = self.w
         x = np.concatenate(
             [w.emb[ids], w.pos_subj[rel_s], w.pos_obj[rel_o]], axis=2
-        )  # (n, L, d_in)
-        # width-3 same-padding convolution via explicit shifts
-        pad = np.zeros_like(x[:, :1, :])
-        stack = np.stack(
-            [
-                np.concatenate([pad, x[:, :-1, :]], axis=1),
-                x,
-                np.concatenate([x[:, 1:, :], pad], axis=1),
-            ],
-            axis=2,
-        )  # (n, L, window, d_in)
-        conv = (
-            np.einsum("nlwd,fwd->nlf", stack, w.conv_w, optimize=True)
-            + w.conv_b
-        )  # (n, L, f)
+        )  # (n, L, d_in) float32
+        # width-3 same-padding convolution as THREE shifted GEMMs —
+        # no (n, L, 3, d_in) intermediate (building that 4-D stack is
+        # pure memory traffic and dominated the einsum formulation)
+        conv = x @ w.conv_w[:, 1, :].T          # center tap
+        conv[:, 1:, :] += x[:, :-1, :] @ w.conv_w[:, 0, :].T  # left tap
+        conv[:, :-1, :] += x[:, 1:, :] @ w.conv_w[:, 2, :].T  # right tap
+        conv += w.conv_b  # (n, L, f)
         # piecewise max-pool over segments 1/2/3 (0 = padding)
         pooled = []
         for seg in (1, 2, 3):
