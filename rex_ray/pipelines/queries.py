@@ -276,6 +276,15 @@ def q_kg_ner_type_prf(sf_dir: str):
     return ner.ner_type_prf(pred, gold)
 
 
+def q_kg_pointer_entities(sf_dir: str):
+    """GlobalPointer-family matrix decode: per-class pointer matrix ->
+    spans (exclusive end, reference +1 shift) -> entity rows; oracle
+    derives the same rows from the mention CTE."""
+    from rex_ray.stages import pointer
+
+    return pointer.pointer_entities(_docs(sf_dir))
+
+
 def q_docs_top_longest(sf_dir: str):
     """Global sort (n_tokens desc, doc_id asc) + limit — the
     'sorted output ordering' family (SURVEY.md §2.6)."""
@@ -515,6 +524,12 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_entities
 FROM mention GROUP BY doc_id
 """
 
+_SQL["kg_pointer_entities"] = f"""
+WITH {_kg_ctes()}
+SELECT doc_id, ent_type, pos AS start_pos, pos + 1 AS end_pos
+FROM mention
+"""
+
 _SQL["docs_top_longest"] = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -573,6 +588,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_ner_type_prf": q_kg_ner_type_prf,
     "kg_mrc_entities": q_kg_mrc_entities,
     "kg_mrc_doc_counts": q_kg_mrc_doc_counts,
+    "kg_pointer_entities": q_kg_pointer_entities,
     "kg_cascade_triples": q_kg_cascade_triples,
     "kg_entity_resolution_salted": q_kg_entity_resolution_salted,
     "docs_top_longest": q_docs_top_longest,

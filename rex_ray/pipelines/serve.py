@@ -39,6 +39,38 @@ def predict_texts(
     return out[["text_id", "subj", "pred", "obj", "score"]]
 
 
+def predict_pair(text: str, head: str, tail: str) -> dict:
+    """Single (text, head, tail) relation prediction — the reference's
+    predict_transform contract (rex/data/transforms/sent_re.py:92-124):
+    RAISES ValueError when head or tail is not anchorable in the text
+    (reference errors on non-substring head/tail), else returns the
+    spec relation for the first-occurrence pair.
+    """
+    from rex_ray.functions.position import find_all_positions
+    from rex_ray.pipelines import spec
+
+    tokens = text.split(" ")
+    h_spans = find_all_positions(tokens, head.split(" "))
+    if not h_spans:
+        raise ValueError(f"head {head!r} not found in text")
+    t_spans = find_all_positions(tokens, tail.split(" "))
+    if not t_spans:
+        raise ValueError(f"tail {tail!r} not found in text")
+    h, t = h_spans[0], t_spans[0]
+    h_type = spec.GAZETTEER.get(tokens[h[0]])
+    t_type = spec.GAZETTEER.get(tokens[t[0]])
+    pred = (
+        spec.PRED_MAP.get((h_type, t_type), spec.PRED_FALLBACK)
+        if h_type and t_type
+        else spec.PRED_FALLBACK
+    )
+    return {
+        "head": head, "head_span": list(h),
+        "tail": tail, "tail_span": list(t),
+        "relation": pred,
+    }
+
+
 def predict_linked_triples(
     texts: List[str],
     min_score: float = 0.0,

@@ -1,7 +1,7 @@
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="session", autouse=True)
 def ray_session():
     """One Ray session for the whole pytest run (BASELINE.md protocol)."""
     import ray

@@ -79,3 +79,31 @@ def test_predict_linked_triples_canonicalizes():
     subj = set(out["subj_id"])
     assert subj == {"ent:join"}  # min-surface canonical of {merge, join}
     assert (out["support"] >= 1).all()
+
+
+def test_pointer_matrix_entities():
+    import ray.data as rd
+
+    from rex_ray.stages import pointer
+
+    docs = rd.from_items(
+        [{"doc_id": 4, "text": "the join uses hash and table"}]
+    )
+    got = pointer.pointer_entities(docs).to_pandas().sort_values("start_pos")
+    assert list(
+        zip(got["ent_type"], got["start_pos"], got["end_pos"])
+    ) == [("ALGO", 1, 2), ("ALGO", 3, 4), ("OBJ", 5, 6)]
+
+
+def test_predict_pair_contract():
+    import pytest
+
+    from rex_ray.pipelines import serve
+
+    out = serve.predict_pair("spark runs the join fast", "spark", "join")
+    assert out["relation"] == "implements"
+    assert out["head_span"] == [0, 1] and out["tail_span"] == [3, 4]
+    with pytest.raises(ValueError, match="head 'absent' not found"):
+        serve.predict_pair("spark runs", "absent", "spark")
+    with pytest.raises(ValueError, match="tail"):
+        serve.predict_pair("spark runs", "spark", "absent")
