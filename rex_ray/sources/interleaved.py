@@ -179,25 +179,32 @@ def validate_span_sequence(batch: pa.Table) -> pa.Table:
 def text_view_batch(batch: pa.Table) -> pa.Table:
     """Normalize: interleaved docs -> (doc_id, text) rows, where text is
     the space-join of the text spans in order.  Inverse of the
-    synthesizer by construction (round-trip asserted in tests)."""
+    synthesizer by construction (round-trip asserted in tests).
+
+    Fully vectorized Arrow path — this is the production normalize
+    stage on every document at 10^12-doc scale: filter text spans,
+    rebuild per-doc list offsets, one ``binary_join_element_wise``-free
+    ``binary_join`` over the list column.  No per-doc Python.
+    """
     validate_span_sequence(batch)
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     flat = spans.flatten()
-    kinds = flat.field("kind").to_numpy(zero_copy_only=False)
-    texts = flat.field("text").to_numpy(zero_copy_only=False)
+    is_text = pc.equal(flat.field("kind"), "text")
+    texts_only = flat.field("text").filter(is_text)
+    # per-doc count of text spans -> list offsets over the filtered texts
     lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
     parent = np.repeat(np.arange(len(batch)), lengths)
-    is_text = kinds == "text"
-    out_texts = []
-    t_parent = parent[is_text]
-    t_texts = texts[is_text]
-    bounds = np.searchsorted(t_parent, np.arange(len(batch) + 1))
-    for i in range(len(batch)):
-        out_texts.append(" ".join(t_texts[bounds[i] : bounds[i + 1]]))
-    return pa.Table.from_pydict(
-        {"doc_id": batch["doc_id"].to_pylist(), "text": out_texts}
+    mask = is_text.to_numpy(zero_copy_only=False)
+    per_doc = np.bincount(parent[mask], minlength=len(batch))
+    offsets = np.zeros(len(batch) + 1, dtype=np.int32)
+    np.cumsum(per_doc, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets), texts_only)
+    joined = pc.binary_join(lists, " ")
+    return pa.Table.from_arrays(
+        [batch["doc_id"].combine_chunks(), joined],
+        names=["doc_id", "text"],
     )
 
 
