@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis) over the pure kernels — beyond
+the reference's golden-vector-only strategy (SURVEY.md §5): these
+check INVARIANTS on randomized inputs, with deterministic shrinking.
+No Ray needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# BIO tagging: encode -> decode round-trip
+# ---------------------------------------------------------------------------
+
+ENT_TYPES = ["PER", "ORG", "LOC"]
+
+
+@st.composite
+def bio_docs(draw):
+    """Random token/BIO-tag sequences built from well-formed entities
+    separated by >=1 O tokens (so the round-trip is exact)."""
+    n_ents = draw(st.integers(0, 4))
+    tokens, tags, spans = [], [], []
+    for _ in range(n_ents):
+        gap = draw(st.integers(1, 3))
+        tokens += [f"o{len(tokens)+i}" for i in range(gap)]
+        tags += ["O"] * gap
+        t = draw(st.sampled_from(ENT_TYPES))
+        length = draw(st.integers(1, 3))
+        start = len(tokens)
+        tokens += [f"e{start+i}" for i in range(length)]
+        tags += [f"B-{t}"] + [f"I-{t}"] * (length - 1)
+        spans.append((t, start, start + length))
+    tail = draw(st.integers(0, 2))
+    tokens += [f"t{i}" for i in range(tail)]
+    tags += ["O"] * tail
+    return tokens, tags, spans
+
+
+@given(bio_docs())
+@settings(max_examples=200, deadline=None)
+def test_bio_roundtrip_property(doc):
+    from rex_ray.functions.tagging import get_entities_from_tags
+
+    tokens, tags, spans = doc
+    ents = get_entities_from_tags(tokens, tags, join=" ")
+    got = [(t, s, e) for _surface, t, (s, e) in ents]
+    assert got == spans
+
+
+# ---------------------------------------------------------------------------
+# piecewise mask: partition property
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(2, 40).flatmap(
+        lambda n: st.tuples(
+            st.just(n), st.integers(0, n - 1), st.integers(0, n - 1),
+            st.integers(0, 10),
+        )
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_piecewise_mask_partitions(args):
+    from rex_ray.functions.mask import construct_piecewise_mask
+
+    seq_len, h, t, extra = args
+    max_len = seq_len + extra
+    m = np.asarray(construct_piecewise_mask(h, t, seq_len, max_len))
+    lo, hi = min(h, t), max(h, t)
+    # segments partition [0, seq_len); padding is 0
+    assert (m[:lo] == 1).all()
+    assert (m[lo:hi] == 2).all()
+    assert (m[hi:seq_len] == 3).all()
+    assert (m[seq_len:] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# span pairing: every start is claimed, spans are valid
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.sampled_from([0, 1]), min_size=1, max_size=30), st.data())
+@settings(max_examples=200, deadline=None)
+def test_span_pairs_validity(head, data):
+    from rex_ray.functions.span import find_closest_span_pairs
+
+    tail = data.draw(
+        st.lists(st.sampled_from([0, 1]), min_size=len(head), max_size=len(head))
+    )
+    pairs = find_closest_span_pairs(head, tail)
+    for s, e in pairs:
+        assert 0 <= s <= e < len(head)
+        assert head[s] == 1 or tail[e] == 1
+    # every start with an available end at/after it is claimed
+    starts = {s for s, _ in pairs}
+    for i, h in enumerate(head):
+        if h == 1 and any(t == 1 for t in tail[i:]):
+            assert i in starts
+
+
+# ---------------------------------------------------------------------------
+# P/R/F1 arithmetic: bounds and exact-match identity
+# ---------------------------------------------------------------------------
+
+@given(st.integers(0, 50), st.integers(0, 50), st.integers(0, 50))
+@settings(max_examples=200, deadline=None)
+def test_prf1_bounds(tp, fp, fn):
+    from rex_ray.functions.metrics import prf1_from_counts
+
+    m = prf1_from_counts(tp, fp, fn)
+    assert 0.0 <= m["p"] <= 1.0 and 0.0 <= m["r"] <= 1.0
+    assert 0.0 <= m["f1"] <= 1.0
+    if fp == 0 and fn == 0 and tp > 0:
+        assert m["f1"] == 1.0
+    if tp == 0:
+        assert m["f1"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# session windows: kernel-level equivalence with a brute-force scan
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_session_assignment_matches_bruteforce(ts_list):
+    gap = 100
+    ts = np.sort(np.asarray(ts_list))
+    new_session = np.empty(len(ts), dtype=bool)
+    new_session[0] = True
+    new_session[1:] = np.diff(ts) > gap
+    sid = np.cumsum(new_session) - 1
+    # brute force
+    cur, brute = 0, [0]
+    for i in range(1, len(ts)):
+        if ts[i] - ts[i - 1] > gap:
+            cur += 1
+        brute.append(cur)
+    assert sid.tolist() == brute
+
+
+# ---------------------------------------------------------------------------
+# minhash: jaccard estimate correlates with exact jaccard
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(st.integers(0, 30), min_size=3, max_size=40, unique=True),
+    st.lists(st.integers(0, 30), min_size=3, max_size=40, unique=True),
+)
+@settings(max_examples=50, deadline=None)
+def test_minhash_estimate_close(a_ids, b_ids):
+    from rex_ray.functions.hashing import (
+        MinHasher,
+        jaccard,
+        minhash_jaccard_estimate,
+    )
+
+    a = {f"tok{i}" for i in a_ids}
+    b = {f"tok{i}" for i in b_ids}
+    mh = MinHasher(num_perm=128)
+    est = minhash_jaccard_estimate(mh.signature(a), mh.signature(b))
+    exact = jaccard(a, b)
+    assert abs(est - exact) < 0.35  # 128 perms: loose but sound bound
+    if a == b:
+        assert est == 1.0
