@@ -30,13 +30,7 @@ def distinct_surfaces(docs_text_ds) -> list:
     """Distinct gazetteer surfaces present in the corpus.  Partial
     per-batch distinct inside the mention stage keeps the shuffle input
     tiny (one row per surface per batch)."""
-    import pyarrow as pa
-
-    partial = docs_text_ds.map_batches(
-        extract.MentionExtractor,
-        batch_format="pandas",
-        concurrency=default_concurrency(),
-    ).map_batches(
+    partial = extract.extract_mentions(docs_text_ds).map_batches(
         lambda t: t.select(["surface"]).group_by("surface").aggregate([]),
         batch_format="pyarrow",
     )

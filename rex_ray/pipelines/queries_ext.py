@@ -266,7 +266,7 @@ def q_ta_doc_stats(sf_dir: str):
     from rex_ray.stages.textstats import DocStats
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        DocStats, batch_format="pandas", concurrency=default_concurrency()
+        DocStats(), batch_format="pandas"
     )
 
 
@@ -282,7 +282,7 @@ def q_ta_quality(sf_dir: str):
     from rex_ray.stages.textstats import QualityScore
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        QualityScore, batch_format="pandas", concurrency=default_concurrency()
+        QualityScore(), batch_format="pandas"
     )
 
 

@@ -147,11 +147,10 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     """
     from ray.data.aggregate import Count
 
+    # task-based: the hash family is tiny and ships with the task
+    # (actor pools pay seconds of per-pipeline spin-up for no benefit)
     bands = docs_ds.map_batches(
-        MinHashBander,
-        fn_constructor_kwargs={"k": k},
-        batch_format="pandas",
-        concurrency=default_concurrency(),
+        MinHashBander(k=k), batch_format="pandas"
     ).materialize()  # consumed twice: bucket counts + hot-bucket rows
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -197,9 +196,7 @@ class SimHasher:
 
 
 def simhash_table(docs_ds):
-    return docs_ds.map_batches(
-        SimHasher, batch_format="pandas", concurrency=default_concurrency()
-    )
+    return docs_ds.map_batches(SimHasher(), batch_format="pandas")
 
 
 def simhash_dup_pairs(docs_ds, max_hamming: int = 3):

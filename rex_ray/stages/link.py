@@ -119,17 +119,39 @@ class EmbeddingDisambiguator:
         return out
 
 
-def link_triples(triples_ds, canonical: Dict[str, str], **kwargs):
+_LINKER_CACHE: Dict[str, "CanonicalLinker"] = {}
+
+
+def link_triples(triples_ds, canonical: Dict[str, str],
+                 use_actors: bool = False, **kwargs):
     """Scored triples -> triples with subj_id/obj_id columns.
 
-    The canonical dict is broadcast once; actors resolve it in
-    ``__init__``.
+    The canonical dict is broadcast once (``ray.put``); the default
+    TASK path resolves it once per worker process via a ref-keyed
+    cache (an actor pool pays seconds of spin-up per pipeline for the
+    same once-per-process semantics).  ``use_actors=True`` restores
+    the pool for heavyweight linker state (embedding indexes).
     """
     ref = ray.put(canonical)
-    return triples_ds.map_batches(
-        CanonicalLinker,
-        fn_constructor_kwargs={"canon_ref": ref},
-        batch_format="pandas",
-        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
-        **kwargs,
-    )
+    if use_actors:
+        return triples_ds.map_batches(
+            CanonicalLinker,
+            fn_constructor_kwargs={"canon_ref": ref},
+            batch_format="pandas",
+            concurrency=kwargs.pop("concurrency", None)
+            or default_concurrency(),
+            **kwargs,
+        )
+    kwargs.pop("concurrency", None)
+
+    def fn(batch, _ref=ref):
+        key = _ref.hex()
+        linker = _LINKER_CACHE.get(key)
+        if linker is None:
+            linker = CanonicalLinker(_ref)
+            _LINKER_CACHE[key] = linker
+            if len(_LINKER_CACHE) > 16:  # bound per-worker cache
+                _LINKER_CACHE.pop(next(iter(_LINKER_CACHE)))
+        return linker(batch)
+
+    return triples_ds.map_batches(fn, batch_format="pandas", **kwargs)

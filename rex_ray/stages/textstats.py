@@ -63,6 +63,20 @@ class QualityScore:
         ]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _langid_singleton() -> "LangId":
+    return LangId()
+
+
+def _langid_task(batch: pd.DataFrame) -> pd.DataFrame:
+    # task-based: stopword lists rebuild once per worker via lru_cache;
+    # an actor pool pays seconds of spin-up for the same semantics
+    return _langid_singleton()(batch)
+
+
 def word_frequency(docs_ds):
     """Corpus-wide token histogram: per-batch partial counts (one row
     per token per batch) then one small groupby-sum shuffle."""
@@ -86,7 +100,7 @@ def langid_confusion(docs_ds):
     from ray.data.aggregate import Sum
 
     preds = docs_ds.map_batches(
-        LangId, batch_format="pandas", concurrency=default_concurrency()
+        _langid_task, batch_format="pandas"
     )
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
