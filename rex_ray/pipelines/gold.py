@@ -13,7 +13,7 @@ extractor semantics).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 from rex_ray.pipelines import spec
 

@@ -17,7 +17,6 @@ from typing import Dict, Optional
 
 import ray.data as rd
 
-from rex_ray.functions.blocks import default_concurrency
 
 from rex_ray.pipelines import spec
 from rex_ray.sources import interleaved as il

@@ -17,7 +17,6 @@ from typing import Callable, Dict
 import numpy as np
 import pandas as pd
 
-from rex_ray.functions.blocks import default_concurrency
 from rex_ray.pipelines.queries import _read  # shared reader
 
 Q1_CUTOFF = "1998-09-02"

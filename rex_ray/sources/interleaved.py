@@ -21,7 +21,7 @@ the DuckDB oracle replicates).
 
 from __future__ import annotations
 
-from typing import Iterable, List
+from typing import List
 
 import numpy as np
 import pyarrow as pa

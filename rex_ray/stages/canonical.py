@@ -20,7 +20,7 @@ of its component (asserted equal on random graphs in tests).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, Sequence, Tuple
 
 import pandas as pd
 

@@ -14,7 +14,7 @@ end-to-end and oracle-checkable; a trained pointer head drops into
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 import pandas as pd

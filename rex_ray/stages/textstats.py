@@ -12,7 +12,6 @@ import pandas as pd
 from rex_ray.functions import text as T
 from rex_ray.functions.blocks import (
     arrow_block,
-    default_concurrency,
     pre_shuffle,
 )
 
