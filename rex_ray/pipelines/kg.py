@@ -2,9 +2,12 @@
 
     read (Lance/Parquet interleaved docs)
       -> normalize (span-sequence validation + text view)     [map_batches]
-      -> fused mention detection + pair fan-out + scoring     [actor pool]
-      -> entity linking (broadcast canonical dict)            [actor pool]
+      -> mention detection + pair fan-out                     [tasks]
+      -> entity linking (broadcast canonical dict)            [tasks]
       -> triple-store dedup (partial agg + one small shuffle) [groupby]
+
+Light dictionary stages run as TASKS with per-process state caches;
+actor pools are reserved for heavy model state (see stages/scorer.py).
 
 Everything streams; the only materialized intermediates are (a) the
 distinct-surface list (tiny, feeds the canonical dict) and (b) the

@@ -52,12 +52,9 @@ def doc_id_int_array(doc_id: pa.ChunkedArray) -> pa.Array:
     return pc.cast(pc.utf8_slice_codeunits(doc_id, 4, 99), pa.int64())
 
 
-def synthesize_batch(batch: pa.Table) -> pa.Table:
-    """documents rows (doc_id:int64, text:string) -> interleaved docs.
-
-    Pure Arrow/python construction; runs inside ``map_batches``.  The
-    chunking/media rule lives in ``spec`` and is mirrored by the oracle.
-    """
+def synthesize_batch_rowwise(batch: pa.Table) -> pa.Table:
+    """Straight-line per-doc reference implementation of the synthesis
+    spec — kept as the equality gold for the vectorized path."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     out_ids: List[str] = []
@@ -95,6 +92,92 @@ def synthesize_batch(batch: pa.Table) -> pa.Table:
         out_spans.append(spans)
     return pa.Table.from_pydict(
         {"doc_id": out_ids, "spans": out_spans}, schema=INTERLEAVED_SCHEMA
+    )
+
+
+def synthesize_batch(batch: pa.Table) -> pa.Table:
+    """documents rows (doc_id:int64, text:string) -> interleaved docs.
+
+    Fully vectorized (Arrow kernels + numpy offset arithmetic; no
+    per-doc Python).  Span layout per the spec: text chunks of
+    ``4 + doc_id % 4`` tokens with one media span after every 2nd text
+    span, i.e. the slot pattern (text, text, media) repeating, so slot
+    j is media iff j % 3 == 2.  Equality with the row-wise reference
+    implementation is asserted in tests on real data.
+    """
+    n_docs = len(batch)
+    if n_docs == 0:
+        return INTERLEAVED_SCHEMA.empty_table()
+    did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_lists = pc.split_pattern(batch["text"], pattern=" ")
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    n_tok = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+    c = 4 + (did % 4)                         # spec.chunk_size, vectorized
+    n_text = -(-n_tok // c)                   # ceil
+    n_media = n_text // 2
+    slots = n_text + n_media
+
+    # ---- text chunk strings: regroup flat tokens by (doc, chunk) ----
+    flat_tokens = tok_lists.flatten()
+    parent = np.repeat(np.arange(n_docs), n_tok)
+    tok_start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    pos_in_doc = np.arange(len(flat_tokens)) - tok_start[parent]
+    chunk_in_doc = pos_in_doc // c[parent]
+    text_base = np.concatenate([[0], np.cumsum(n_text)[:-1]])
+    gchunk = text_base[parent] + chunk_in_doc
+    total_chunks = int(n_text.sum())
+    chunk_sizes = np.bincount(gchunk, minlength=total_chunks)
+    chunk_offsets = np.zeros(total_chunks + 1, dtype=np.int32)
+    np.cumsum(chunk_sizes, out=chunk_offsets[1:])
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(chunk_offsets), flat_tokens
+    )
+    chunk_strings = pc.binary_join(chunk_lists, " ")  # in (doc, chunk) order
+
+    # ---- slot grid: interleave text chunks and media spans ----------
+    total_slots = int(slots.sum())
+    slot_parent = np.repeat(np.arange(n_docs), slots)
+    slot_base = np.concatenate([[0], np.cumsum(slots)[:-1]])
+    j = np.arange(total_slots) - slot_base[slot_parent]
+    is_media = (j % 3) == 2
+    media_m = (j + 1) // 3                    # 1-based media ordinal
+    text_idx = text_base[slot_parent] + (j - (j + 1) // 3)
+
+    slot_doc = did[slot_parent]
+    kind = np.where(
+        is_media,
+        np.where((slot_doc + media_m) % 2 == 0, "image", "audio"),
+        "text",
+    )
+    # text field: chunk string for text slots, "" for media
+    texts_np = chunk_strings.to_numpy(zero_copy_only=False)
+    text_field = np.where(is_media, "", texts_np[text_idx])
+    media_ref = np.where(
+        is_media,
+        np.char.add(
+            np.char.add(
+                np.char.add("media://", slot_doc.astype("U")), "/"
+            ),
+            media_m.astype("U"),
+        ),
+        "",
+    )
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kind, type=pa.string()),
+            pa.array(text_field, type=pa.string()),
+            pa.array(media_ref, type=pa.string()),
+            pa.array(j.astype(np.int32), type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    span_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    span_offsets[1:] = np.cumsum(slots)
+    spans = pa.ListArray.from_arrays(pa.array(span_offsets), struct)
+    out_ids = pa.array(np.char.mod("doc-%08d", did), type=pa.string())
+    return pa.Table.from_arrays(
+        [out_ids, spans], schema=INTERLEAVED_SCHEMA
     )
 
 

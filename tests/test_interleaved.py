@@ -107,3 +107,18 @@ def test_persisted_round_trip_preserves_span_sequence(tmp_path):
     back.map_batches(
         il.validate_span_sequence, batch_format="pyarrow"
     ).count()
+
+
+def test_vectorized_synthesizer_equals_rowwise():
+    """The vectorized Arrow synthesis path is bit-identical to the
+    straight-line per-doc reference implementation on real data."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    assert il.synthesize_batch(t).equals(il.synthesize_batch_rowwise(t))
+    # and on an empty batch (schema-stable)
+    empty = t.slice(0, 0)
+    assert il.synthesize_batch(empty).schema.equals(il.INTERLEAVED_SCHEMA)
