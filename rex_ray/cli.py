@@ -64,6 +64,12 @@ def _flagship_resumable(cfg: Dict[str, Any]):
         min_score=cfg["min_score"],
     )
     out = os.path.join(cfg["out_dir"], "triple_store")
+    # the merge output is rebuilt from the (checkpointed) partitions on
+    # every invocation — replace, don't accumulate
+    import shutil
+
+    if os.path.isdir(out):
+        shutil.rmtree(out)
     store.write_parquet(out)
     import pyarrow.parquet as pq
 

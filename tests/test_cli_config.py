@@ -105,3 +105,19 @@ def test_cli_run_resumable_and_scaffold(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["rows"] == 500  # one row per document at sf0.001
+
+
+def test_cli_rerun_is_idempotent(tmp_path):
+    """Re-running with the same out_dir skips finished partitions AND
+    rebuilds (not accumulates) the merged triple store."""
+    out_dir = tmp_path / "out2"
+    args = [
+        "run", "-a", "num_partitions=2", "-a", f"out_dir={out_dir}",
+        "-a", "sf_dir=/root/testdata/sf0.001",
+    ]
+    r1 = _cli(args, cwd=str(tmp_path))
+    rep1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    r2 = _cli(args, cwd=str(tmp_path))
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep1["rows"] == rep2["rows"] == 144
+    assert rep2["wall_s"] < rep1["wall_s"]  # partitions were skipped
