@@ -83,6 +83,9 @@ def _flagship_resumable(cfg: Dict[str, Any]):
         "partitions": len(lineage),
         "partition_rows_out": sum(r["rows_out"] for r in lineage),
         "partition_rows_per_s": [r["rows_per_s"] for r in lineage],
+        # unchanged finished_at across reruns is the deterministic
+        # evidence that a partition was skipped (resume worked)
+        "partition_finished_at": [r["finished_at"] for r in lineage],
         "triple_store": out,
     }
 

@@ -63,24 +63,27 @@ def triple_store_from_text_docs(
     (subj_id, pred, obj_id, score, support).
 
     Single doc pass: when the canonical map must be derived from the
-    corpus, mentions are extracted ONCE and materialized (small: one
-    row per gazetteer hit), then reused for BOTH the distinct-surface
-    aggregation and the pair fan-out — instead of reading and
-    re-mentioning the corpus twice.  With a precomputed canonical map
-    (the resumable runner's phase-0 artifact) the fused
-    extract-triples path streams with no intermediate at all.
+    corpus, one fused extraction pass emits tagged triples + distinct
+    surfaces (boundary-safe: the pair fan-out happens inside the doc
+    batch, immune to Ray's dynamic block splitting), materialized once
+    and consumed by BOTH the canonical-map aggregation and the triple
+    path.  With a precomputed canonical map (the resumable runner's
+    phase-0 artifact) the fused extract-triples path streams with no
+    intermediate at all.
     """
     if canonical is not None:
         triples = extract.extract_triples(docs_text_ds, min_score=min_score)
     else:
-        mentions = extract.extract_mentions(docs_text_ds).materialize()
-        uniq = mentions.unique("surface")
+        tagged = extract.extract_triples_and_surfaces(
+            docs_text_ds, min_score=min_score
+        ).materialize()
+        uniq = tagged.filter(expr="kind == 's'").unique("surface")
         surfaces = sorted(uniq) if uniq else []
         canonical = canon.canonical_map_for_surfaces(
             surfaces, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX
         )
-        triples = extract.triples_from_mention_blocks(
-            mentions, min_score=min_score
+        triples = tagged.filter(expr="kind == 't'").drop_columns(
+            ["kind", "surface"]
         )
     linked = link.link_triples(triples, canonical)
     return agg.dedup_triple_store(linked)

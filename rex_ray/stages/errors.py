@@ -10,11 +10,18 @@ dead-letter stream (SURVEY.md §4 'error rows').
 
 Fast path first: the whole batch runs vectorized; only a failing batch
 falls back to row-at-a-time (the common case pays nothing).
+
+Schema stability: every emitted block carries identical columns and
+dtypes — fn's output columns plus ``_error`` — with nulls in fn's
+columns on failed rows.  Pass ``out_schema`` when fn's output schema
+is known up front; otherwise it is inferred from the first succeeding
+row of each batch (an ALL-fail batch without ``out_schema`` cannot
+know fn's columns and raises, pointing at the parameter).
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import pandas as pd
 import pyarrow as pa
@@ -24,19 +31,35 @@ from rex_ray.functions.blocks import arrow_block
 ERROR_COL = "_error"
 
 
-def with_deadletter(fn: Callable[[pd.DataFrame], pd.DataFrame]):
+def _with_error_field(schema: pa.Schema) -> pa.Schema:
+    if ERROR_COL in schema.names:
+        return schema
+    return schema.append(pa.field(ERROR_COL, pa.string()))
+
+
+def with_deadletter(
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema: Optional[pa.Schema] = None,
+):
     """Wrap a pandas-batch UDF with per-row error capture.
 
     The wrapped callable returns the union of fn's output over the
     rows that succeed (with ``_error`` = "") and one row per failing
-    input (its ``doc_id`` if present, ``_error`` = exception text).
+    input (its ``doc_id`` carried through if fn's schema has one,
+    ``_error`` = exception text, nulls elsewhere).  All blocks share
+    one fixed schema (see module docstring).
     """
 
     def wrapped(batch: pd.DataFrame) -> pa.Table:
         try:
             out = fn(batch)
             out = out.assign(**{ERROR_COL: ""})
-            return arrow_block(out)
+            tbl = arrow_block(out)
+            if out_schema is not None:
+                tbl = tbl.select(
+                    _with_error_field(out_schema).names
+                ).cast(_with_error_field(out_schema))
+            return tbl
         except Exception:
             pass  # fall through to row-at-a-time
         goods = []
@@ -47,24 +70,45 @@ def with_deadletter(fn: Callable[[pd.DataFrame], pd.DataFrame]):
                 goods.append(fn(row))
             except Exception as exc:  # noqa: BLE001 - captured as data
                 errors.append(
-                    {
-                        "doc_id": row["doc_id"].iloc[0]
+                    (
+                        row["doc_id"].iloc[0]
                         if "doc_id" in row.columns
                         else i,
-                        ERROR_COL: f"{type(exc).__name__}: {exc}",
-                    }
+                        f"{type(exc).__name__}: {exc}",
+                    )
                 )
-        good_df = (
-            pd.concat(goods, ignore_index=True)
-            if goods
-            else pd.DataFrame()
-        )
-        if len(good_df):
+        if out_schema is not None:
+            base = out_schema
+        elif goods:
+            base = arrow_block(
+                pd.concat(goods, ignore_index=True)
+            ).schema
+        else:
+            raise ValueError(
+                "with_deadletter: every row of a batch failed and no "
+                "out_schema was given — cannot emit a schema-stable "
+                "block.  Pass out_schema=<fn's output schema>."
+            )
+        schema = _with_error_field(base)
+        parts = []
+        if goods:
+            good_df = pd.concat(goods, ignore_index=True)
             good_df[ERROR_COL] = ""
-        err_df = pd.DataFrame(errors)
-        out = pd.concat([good_df, err_df], ignore_index=True)
-        # error rows have NaN in fn's columns; normalize dtypes to object
-        return arrow_block(out.where(out.notna(), None))
+            parts.append(
+                arrow_block(good_df).select(schema.names).cast(schema)
+            )
+        if errors:
+            n = len(errors)
+            cols = []
+            for f in schema:
+                if f.name == ERROR_COL:
+                    cols.append(pa.array([e[1] for e in errors], f.type))
+                elif f.name == "doc_id":
+                    cols.append(pa.array([e[0] for e in errors], f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            parts.append(pa.Table.from_arrays(cols, schema=schema))
+        return pa.concat_tables(parts)
 
     return wrapped
 

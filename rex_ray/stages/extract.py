@@ -232,20 +232,56 @@ def extract_triples(docs_ds, min_score: float = 0.0,
     return docs_ds.map_batches(fn, batch_format="pandas", **kwargs)
 
 
-def triples_from_mention_blocks(mentions_ds, min_score: float = 0.0):
-    """Pair fan-out over an already-extracted mentions Dataset.
+def _tagged_schema(doc_id_t: pa.DataType) -> pa.Schema:
+    return _triples_schema(doc_id_t).append(
+        pa.field("kind", pa.string())
+    ).append(pa.field("surface", pa.string()))
 
-    ``batch_size=None`` processes one whole block per call; mention
-    blocks are produced per extraction batch, so a document's mentions
-    never straddle a block — the doc-locality precondition of
-    :meth:`TripleExtractor.triples_from_mentions` holds.  This is the
-    single-doc-pass flagship path: mentions are extracted ONCE, reused
-    for both the canonical-surface aggregation and the pair fan-out.
+
+def extract_triples_and_surfaces(
+    docs_ds, min_score: float = 0.0, **kwargs
+):
+    """Single-doc-pass extraction: one streamed output carrying BOTH
+    the scored triples (``kind='t'``) and the per-batch distinct
+    mention surfaces (``kind='s'``, one tiny row per surface per
+    batch) — so the canonical-map aggregation and the pair fan-out
+    share ONE pass over the corpus without an intermediate mentions
+    dataset.
+
+    Boundary-safe by construction: the pair fan-out runs inside the
+    same UDF call that detected the mentions, over input batches that
+    respect document row boundaries — unlike fanning out over a
+    materialized mentions dataset, where Ray Data's dynamic block
+    splitting can cut a large mention block mid-document and silently
+    drop cross-boundary pairs.
     """
+    kwargs.pop("concurrency", None)
 
-    def fanout(m: pd.DataFrame, _ms=min_score) -> pa.Table:
-        return _triple_singleton(_ms).triples_from_mentions(m)
+    def fn(batch: pd.DataFrame, _ms=min_score) -> pa.Table:
+        ex = _triple_singleton(_ms)
+        doc_id_t = _doc_id_type(batch["doc_id"])
+        m = ex._mentions.mentions_df(batch)
+        triples = ex.triples_from_mentions(m, doc_id_t)
+        n_t = triples.num_rows
+        surfaces = m["surface"].unique()
+        schema = _tagged_schema(doc_id_t)
+        cols = []
+        for f in schema:
+            if f.name == "kind":
+                cols.append(
+                    pa.array(["t"] * n_t + ["s"] * len(surfaces), f.type)
+                )
+            elif f.name == "surface":
+                cols.append(
+                    pa.array([None] * n_t + list(surfaces), f.type)
+                )
+            else:
+                col = triples[f.name].combine_chunks()
+                cols.append(
+                    pa.concat_arrays(
+                        [col, pa.nulls(len(surfaces), f.type)]
+                    )
+                )
+        return pa.Table.from_arrays(cols, schema=schema)
 
-    return mentions_ds.map_batches(
-        fanout, batch_format="pandas", batch_size=None
-    )
+    return docs_ds.map_batches(fn, batch_format="pandas", **kwargs)

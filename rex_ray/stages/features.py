@@ -32,6 +32,29 @@ from rex_ray.state.dictionaries import LabelEncoder, Vocab
 MAX_SEQ_LEN = 64
 
 
+def _feature_schema(max_seq_len: int, doc_id_t: pa.DataType) -> pa.Schema:
+    """Fixed output schema for feature rows — every block (including
+    empty ones, which pandas would otherwise infer as ``null``-typed)
+    carries identical columns/dtypes.  ``doc_id_t`` follows the input
+    (int64 parquet ids vs 'doc-XXXX' interleaved strings)."""
+    fsl = lambda t: pa.list_(t, max_seq_len)  # noqa: E731
+    return pa.schema(
+        [
+            ("doc_id", doc_id_t),
+            ("pair_key", pa.string()),
+            ("subj_pos", pa.int64()),
+            ("obj_pos", pa.int64()),
+            ("label_id", pa.int64()),
+            ("n_real_tokens", pa.int64()),
+            ("token_ids", fsl(pa.int32())),
+            ("mask", fsl(pa.int8())),
+            ("pmask", fsl(pa.int8())),
+            ("rel_pos_subj", fsl(pa.int32())),
+            ("rel_pos_obj", fsl(pa.int32())),
+        ]
+    )
+
+
 def relation_label_encoder() -> LabelEncoder:
     """Fixed relation inventory from the spec (order-stable)."""
     rels = sorted(set(spec.PRED_MAP.values()) | {spec.PRED_FALLBACK})
@@ -65,11 +88,20 @@ class PairFeaturizer:
         self._extract = TripleExtractor()
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        from rex_ray.stages.extract import _doc_id_type
+
         L = self.max_seq_len
+        schema = _feature_schema(L, _doc_id_type(batch["doc_id"]))
         pairs = self._extract(batch).to_pandas()
         pairs = pairs[
             (pairs["subj_pos"] < L) & (pairs["obj_pos"] < L)
         ].reset_index(drop=True)
+        if len(pairs) == 0:
+            # a batch with no candidate pairs must still emit a block
+            # with the full output schema (empty object arrays would
+            # otherwise crash the fancy-index below and produce
+            # null-typed columns)
+            return schema.empty_table()
 
         texts = dict(zip(batch["doc_id"], batch["text"]))
         # encode each referenced doc once, not once per pair
@@ -108,7 +140,7 @@ class PairFeaturizer:
             ("rel_pos_obj", relative_positions_matrix(op, L).astype(np.int32)),
         ):
             scalars = scalars.append_column(name, fixed_list_column(mat))
-        return scalars
+        return scalars.cast(schema)
 
 
 def featurize(docs_ds, vocab: Optional[Vocab] = None, **kwargs):

@@ -120,4 +120,6 @@ def test_cli_rerun_is_idempotent(tmp_path):
     r2 = _cli(args, cwd=str(tmp_path))
     rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert rep1["rows"] == rep2["rows"] == 144
-    assert rep2["wall_s"] < rep1["wall_s"]  # partitions were skipped
+    # deterministic skip evidence: the rerun returned every partition's
+    # lineage untouched (identical finished_at), i.e. no partition re-ran
+    assert rep2["partition_finished_at"] == rep1["partition_finished_at"]

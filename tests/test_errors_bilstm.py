@@ -75,3 +75,49 @@ def test_bilstm_att_scorer_deterministic_and_attention_masked():
     ids2 = np.array([[5, 6, 7, 9, 9, 9]])  # garbage beyond the mask
     out2 = sc._forward(ids2, rel_s, rel_o, m1)
     assert np.allclose(out1, out2)
+
+
+def test_deadletter_schema_stable_and_numeric_dtypes():
+    """All-fail and mixed batches emit identical schemas; numeric
+    columns stay numeric (not object) despite null error rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rex_ray.stages.errors import split_deadletter, with_deadletter
+
+    def shaky(batch: pd.DataFrame) -> pd.DataFrame:
+        if (batch["x"] < 0).any():
+            raise ValueError("negative x")
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "y": batch["x"] * 2}
+        )
+
+    schema = pa.schema([("doc_id", pa.int64()), ("y", pa.int64())])
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "x": [1, -5, 3, -7]})
+    ).repartition(2)
+    out = ds.map_batches(
+        with_deadletter(shaky, out_schema=schema),
+        batch_format="pandas",
+        batch_size=2,
+    ).materialize()
+    assert out.schema().names == ["doc_id", "y", "_error"]
+    clean, errors = split_deadletter(out)
+    cdf = clean.to_pandas()
+    assert str(cdf["y"].dtype) in ("int64", "Int64")
+    # the all-fail batch (docs 2 & 4 might land together) still yields
+    # blocks unionable with the good blocks
+    assert clean.count() + errors.count() == 4
+
+
+def test_deadletter_all_fail_without_schema_raises():
+    import pytest
+
+    from rex_ray.stages.errors import with_deadletter
+
+    def always(batch: pd.DataFrame) -> pd.DataFrame:
+        raise ValueError("boom")
+
+    wrapped = with_deadletter(always)
+    with pytest.raises(ValueError, match="out_schema"):
+        wrapped(pd.DataFrame({"doc_id": [1], "x": [2]}))
