@@ -258,6 +258,30 @@ def q_kg_ner_roundtrip(sf_dir: str):
     return ner.ner_roundtrip(_docs(sf_dir))
 
 
+def q_kg_crf_entities(sf_dir: str):
+    """Gazetteer emissions -> seeded masked-CRF viterbi decode ->
+    entity spans (consecutive same-type mentions merge into one span).
+    The emission margin makes the optimal path closed-form, so the
+    oracle derives the same spans with an islands query — while the
+    Ray stage runs the real dynamic program over the seeded
+    transition matrix (brute-force-verified in tests/test_crf.py)."""
+    from rex_ray.stages import crf
+
+    return crf.crf_entities(_docs(sf_dir))
+
+
+def q_kg_feature_rows_subword(sf_dir: str):
+    """Subword-tokenized feature rows: deterministic fixed-width
+    BPE-ish split, CLS/SEP assembly, word->subword offset remap and the
+    reference's strict boundary filter (entity_re.py:106-251 quirks
+    preserved — see stages/subword.py).  The oracle recomputes the
+    remap with ceil(len/4) window sums."""
+    from rex_ray.stages import subword
+
+    feats = subword.featurize_subword(_docs(sf_dir))
+    return feats.drop_columns(["token_ids", "mask"])
+
+
 def q_kg_ner_type_prf(sf_dir: str):
     """Per-entity-type P/R/F1 of the decoded NER path vs the direct
     gazetteer mentions (macro breakdown semantics of
@@ -386,6 +410,70 @@ _SQL["kg_mention_type_counts"] = f"""
 WITH {_kg_ctes()}
 SELECT ent_type, CAST(count(*) AS BIGINT) AS n_mentions
 FROM mention GROUP BY ent_type
+"""
+
+_SQL["kg_crf_entities"] = f"""
+WITH {_kg_ctes()},
+capped AS (SELECT * FROM mention WHERE pos < 64),
+runs AS (
+    SELECT doc_id, pos, surface, ent_type,
+           pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, ent_type ORDER BY pos
+           ) AS grp
+    FROM capped
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) + 1 AS BIGINT) AS end_pos,
+       STRING_AGG(surface, ' ' ORDER BY pos) AS surface,
+       ent_type
+FROM runs GROUP BY doc_id, ent_type, grp
+"""
+
+_SQL["kg_feature_rows_subword"] = f"""
+WITH {_kg_ctes()},
+wc AS (
+    SELECT doc_id, pos,
+           CAST(ceil(length(tok) / 4.0) AS BIGINT) AS cnt
+    FROM tok
+),
+off AS (
+    SELECT doc_id, pos, cnt,
+           COALESCE(SUM(cnt) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS sub_start
+    FROM wc
+),
+doc_tot AS (
+    SELECT doc_id, MAX(pos) + 1 AS n_words,
+           CAST(LEAST(SUM(cnt), 62) + 2 AS BIGINT) AS n_subwords
+    FROM wc GROUP BY doc_id
+),
+remapped AS (
+    SELECT tri.doc_id,
+           tri.subj || '{spec.BAG_KEY_SEP}' || tri.obj AS pair_key,
+           tri.pred, tri.subj_pos, tri.obj_pos,
+           CAST(so.sub_start AS BIGINT) AS subj_sub_start,
+           CAST(CASE WHEN tri.subj_pos + 1 >= dt.n_words THEN -1
+                ELSE so.sub_start + so.cnt END AS BIGINT) AS subj_sub_end,
+           CAST(oo.sub_start AS BIGINT) AS obj_sub_start,
+           CAST(CASE WHEN tri.obj_pos + 1 >= dt.n_words THEN -1
+                ELSE oo.sub_start + oo.cnt END AS BIGINT) AS obj_sub_end,
+           dt.n_subwords
+    FROM tri
+    JOIN off so ON so.doc_id = tri.doc_id AND so.pos = tri.subj_pos
+    JOIN off oo ON oo.doc_id = tri.doc_id AND oo.pos = tri.obj_pos
+    JOIN doc_tot dt ON dt.doc_id = tri.doc_id
+)
+SELECT doc_id, pair_key, pred, subj_pos, obj_pos,
+       subj_sub_start, subj_sub_end, obj_sub_start, obj_sub_end,
+       n_subwords
+FROM remapped
+WHERE subj_sub_start > 0 AND subj_sub_start < 64
+  AND subj_sub_end   > 0 AND subj_sub_end   < 64
+  AND obj_sub_start  > 0 AND obj_sub_start  < 64
+  AND obj_sub_end    > 0 AND obj_sub_end    < 64
 """
 
 _SQL["kg_triples"] = f"""
@@ -585,6 +673,8 @@ QUERIES: Dict[str, Callable] = {
     "kg_bag_one": q_kg_bag_one,
     "kg_bag_att": q_kg_bag_att,
     "kg_ner_roundtrip": q_kg_ner_roundtrip,
+    "kg_crf_entities": q_kg_crf_entities,
+    "kg_feature_rows_subword": q_kg_feature_rows_subword,
     "kg_ner_type_prf": q_kg_ner_type_prf,
     "kg_mrc_entities": q_kg_mrc_entities,
     "kg_mrc_doc_counts": q_kg_mrc_doc_counts,
