@@ -321,11 +321,16 @@ def q_dd_simhash(sf_dir: str):
 
 
 def q_dd_embedding_pairs(sf_dir: str):
+    """Exact distributed all-pairs cosine (block-partitioned self-
+    join).  chunk_rows sized so sf0.1 runs the real multi-chunk
+    shuffle path; multi-vs-single-chunk equality is asserted in
+    tests/test_dedup_similarity.py."""
     from rex_ray.stages.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
         threshold=EMB_DUP_THRESHOLD,
+        chunk_rows=1024,
     )
 
 

@@ -2,9 +2,10 @@
 embedding-cosine near-dup.
 
 Scale notes (each documented per stage): exact dedup and LSH bucketing
-shuffle only small derived keys; the embedding near-dup broadcasts the
-normalized matrix (fine to ~10^6 rows; beyond that switch to the
-LSH-bucketed variant in ``stages/similarity.py``).
+shuffle only small derived keys; the embedding near-dup is an exact
+block-partitioned distributed self-join (bounded per-group memory, no
+driver materialization); the sub-quadratic approximate path is IVF /
+LSH bucketing in ``stages/similarity.py``.
 """
 
 from __future__ import annotations
@@ -61,44 +62,67 @@ def exact_dedup_groups(docs_ds):
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-class MinHashBander:
-    """doc -> LSH band rows (band_key, doc_id, norm_text).
+SHINGLE_SEP = "\x1f"  # unit separator; never occurs in token text
 
-    Hash family built once per actor.  ``band_key`` folds
-    (band_id, band_hash) into one int64 — a key collision merely
-    merges two buckets, adding candidates that the exact-Jaccard
-    verify rejects, so correctness is unaffected.  norm_text rides
-    along so the verify step can compute exact Jaccard inside the
-    bucket group without a second join (at 10^12-doc scale, replace
-    with a doc_id -> shingle-sketch side table join to avoid
-    duplicating text x num_bands through the shuffle)."""
 
-    def __init__(self, num_perm: int = 64, num_bands: int = 16, k: int = 3):
-        self.mh = H.MinHasher(num_perm=num_perm)
-        self.num_bands = num_bands
+class ShingleSketcher:
+    """doc -> (doc_id, sh: string) distinct k-token shingles joined
+    with :data:`SHINGLE_SEP` (Arrow's hash join rejects list-typed
+    payload columns, so the sketch rides as one string).  The sketch
+    side table is computed ONCE and joined to hot bucket rows only —
+    the per-band shuffle never carries text."""
+
+    def __init__(self, k: int = 3):
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         norm = T.normalize_dedup_text(batch["text"])
+        sh = [
+            SHINGLE_SEP.join(sorted(H.token_shingles(t.split(" "), self.k)))
+            for t in norm
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"], type=pa.int64()),
+                "sh": pa.array(sh, type=pa.string()),
+            }
+        )
+
+
+class MinHashBander:
+    """sketch rows -> SLIM LSH band rows (band_key, doc_id) — 16 bytes
+    of key + id per band, constant regardless of document size (the
+    round-1 version shipped norm_text x num_bands through the
+    shuffle).  ``band_key`` folds (band_id, band_hash) into one int64;
+    a key collision merely merges two buckets, adding candidates the
+    exact-Jaccard verify rejects."""
+
+    def __init__(self, num_perm: int = 64, num_bands: int = 16):
+        self.mh = H.MinHasher(num_perm=num_perm)
+        self.num_bands = num_bands
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         rows: List[tuple] = []
-        for doc_id, nt in zip(batch["doc_id"], norm):
-            sig = self.mh.signature(H.token_shingles(nt.split(" "), self.k))
+        for doc_id, sh in zip(batch["doc_id"], batch["sh"]):
+            sig = self.mh.signature(set(sh.split(SHINGLE_SEP)))
             for band_id, band_hash in self.mh.bands(sig, self.num_bands):
                 key = (band_hash ^ (band_id * 0x9E3779B97F4A7C15)) & (
                     (1 << 63) - 1
                 )
-                rows.append((key, doc_id, nt))
+                rows.append((key, doc_id))
         return arrow_block(
-            pd.DataFrame(rows, columns=["band_key", "doc_id", "norm_text"])
+            pd.DataFrame(rows, columns=["band_key", "doc_id"]),
+            schema=pa.schema(
+                [("band_key", pa.int64()), ("doc_id", pa.int64())]
+            ),
         )
 
 
-def _hot_buckets(bands_ds, key_col: str):
-    """Keys of buckets holding >= 2 rows — the only ones that can emit
-    a candidate pair.  Counted with a vectorized Arrow partial + one
-    tiny aggregate; the hot-key list is driver-collected (collisions
-    are rare by construction — at extreme scale swap the collect for a
-    broadcast filter built from the counts dataset)."""
+def _hot_bucket_rows(bands_ds, key_col: str):
+    """Band rows whose bucket holds >= 2 rows — the only ones that can
+    emit a candidate pair.  Vectorized Arrow partial count + one tiny
+    aggregate, then a SEMI-JOIN of the bands against the hot-key set —
+    entirely dataset-to-dataset, nothing through the driver."""
     from ray.data.aggregate import Sum
 
     partial = bands_ds.map_batches(
@@ -111,57 +135,49 @@ def _hot_buckets(bands_ds, key_col: str):
     counts = pre_shuffle(partial).groupby(key_col).aggregate(
         Sum("n", alias_name="n")
     )
-    hot = counts.filter(expr="n >= 2")
-    return [r[key_col] for r in hot.take_all()]
+    hot_keys = counts.filter(expr="n >= 2").drop_columns(["n"])
+    from rex_ray.stages.relational import hash_join
 
-
-def _bucket_pairs_ds(bands_ds, key_col: str, bucket_pairs):
-    """Filter to hot buckets, then per-bucket pair generation.  The
-    map_groups only ever sees colliding buckets — per-group overhead
-    is paid on the (tiny) candidate set, not on every band row."""
-    import pyarrow as _pa
-    import pyarrow.compute as pc
-
-    hot = _hot_buckets(bands_ds, key_col)
-    if not hot:
-        return bands_ds.map_batches(
-            lambda t: _PAIR_SCHEMA.empty_table(), batch_format="pyarrow"
-        )
-    value_set = _pa.array(sorted(hot), type=_pa.int64())
-    hot_rows = bands_ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[key_col], value_set=value_set)),
-        batch_format="pyarrow",
-    )
-    return pre_shuffle(hot_rows).groupby(key_col).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    return hash_join(bands_ds, hot_keys, on=key_col, num_partitions=16)
 
 
 def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     """LSH candidate generation + exact-Jaccard verification.
 
-    groupby (band_id, band_hash) buckets co-banded docs; within each
-    bucket every pair is verified with exact k-shingle Jaccard >=
-    threshold; pairs are then globally deduped (a pair can collide in
-    several bands).  Returns (doc_a, doc_b) with doc_a < doc_b.
+    Dataflow (every exchange carries bounded rows):
+      1. sketch side table (doc_id, shingles) — one pass over text;
+      2. slim band rows (band_key, doc_id) from the sketches;
+      3. hot buckets via counts + semi-join (no driver collect);
+      4. sketches joined to HOT rows only, exact Jaccard verified
+         inside each bucket group;
+      5. global pair dedup (a pair can collide in several bands).
+    Returns (doc_a, doc_b) with doc_a < doc_b.
     """
     from ray.data.aggregate import Count
 
+    from rex_ray.stages.relational import hash_join
+
     # task-based: the hash family is tiny and ships with the task
     # (actor pools pay seconds of per-pipeline spin-up for no benefit)
-    bands = docs_ds.map_batches(
-        MinHashBander(k=k), batch_format="pandas"
-    ).materialize()  # consumed twice: bucket counts + hot-bucket rows
+    sketches = docs_ds.map_batches(
+        ShingleSketcher(k=k), batch_format="pandas"
+    ).materialize()  # consumed twice: band derivation + hot-row verify
+    bands = sketches.map_batches(
+        MinHashBander(), batch_format="pandas"
+    ).materialize()  # consumed twice: bucket counts + semi-join probe
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # stage the (small) hot-row set between the two joins: chained
+    # un-materialized join operators each reserve an actor pool and can
+    # deadlock the streaming executor on small CPU counts
+    hot = pre_shuffle(_hot_bucket_rows(bands, "band_key"))
+    verif_in = hash_join(hot, sketches, on="doc_id", num_partitions=16)
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         rows = []
         if len(g) > 1:
-            docs = list(zip(g["doc_id"], g["norm_text"]))
-            docs.sort(key=lambda x: x[0])
-            shingles = {
-                d: H.token_shingles(t.split(" "), k) for d, t in docs
-            }
-            for (da, ta), (db, tb) in combinations(docs, 2):
+            docs = sorted(zip(g["doc_id"], g["sh"]), key=lambda x: x[0])
+            shingles = {d: set(sh.split(SHINGLE_SEP)) for d, sh in docs}
+            for (da, _), (db, _) in combinations(docs, 2):
                 if H.jaccard(shingles[da], shingles[db]) >= threshold:
                     rows.append((da, db))
         return arrow_block(
@@ -169,7 +185,9 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
             schema=_PAIR_SCHEMA,
         )
 
-    cand = _bucket_pairs_ds(bands, "band_key", bucket_pairs)
+    cand = pre_shuffle(verif_in).groupby("band_key").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
     # global pair dedup (a pair may surface from several bands)
     return pre_shuffle(cand).groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="_nb")
@@ -232,7 +250,12 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
             schema=_PAIR_SCHEMA,
         )
 
-    cand = _bucket_pairs_ds(bands, "band_key", bucket_pairs)
+    # simhash band rows are self-contained (8-byte hash rides along) —
+    # hot-bucket semi-join, then per-bucket hamming verify
+    hot = _hot_bucket_rows(bands, "band_key")
+    cand = pre_shuffle(hot).groupby("band_key").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
     return pre_shuffle(cand).groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="_nb")
     ).drop_columns(["_nb"])
@@ -242,37 +265,84 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(emb_ds, threshold: float, id_col: str = "vec_id"):
-    """All pairs with cosine similarity >= threshold.
+def embedding_dup_pairs(
+    emb_ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    chunk_rows: int = 65536,
+):
+    """Exact all pairs with cosine similarity >= threshold, distributed.
 
-    Block-nested loop: the full L2-normalized matrix is broadcast once
-    (``ray.put``); each batch multiplies against it (float64 matmul).
-    O(n^2/batch) compute but NO shuffle; right-sized up to ~10^6 rows.
-    Beyond that use LSH/IVF bucketing (stages/similarity.py) to bound
-    the candidate set."""
-    import ray
+    Block-partitioned self-join (no driver materialization anywhere):
 
-    full = emb_ds.to_pandas()
-    ids = full[id_col].to_numpy()
-    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((ids, M))
+    1. vectors hash into ``P = ceil(n / chunk_rows)`` chunks by id;
+    2. each vector fans out to the P chunk-PAIR groups its chunk
+       participates in (one shuffle of n x P rows);
+    3. each group (a, b) holds ONLY chunks a and b — bounded worker
+       memory — and runs one float64 matmul: triangular within the
+       diagonal group, full cross between distinct chunks.
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.M = ray.get(ref)
+    Every unordered vector pair lands in exactly ONE group (the group
+    of its two chunks), so the output needs no global pair dedup and
+    no second shuffle.  Compute is the inherent O(n^2) of exact
+    all-pairs, spread over P*(P+1)/2 independent groups; for a
+    sub-quadratic approximate path, bucket with
+    ``similarity.IvfCentroidAssigner`` (or hyperplane LSH) first and
+    verify inside buckets — recall < 1 by design there.
+    """
+    import math
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            bids = batch[id_col].to_numpy()
-            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+    n = emb_ds.count()
+    P = max(1, math.ceil(n / chunk_rows))
+
+    def fanout(batch: pd.DataFrame) -> pa.Table:
+        nb = len(batch)
+        c = (batch[id_col].to_numpy() % P).astype(np.int64)
+        rep = np.repeat(np.arange(nb), P)
+        q = np.tile(np.arange(P, dtype=np.int64), nb)
+        cr = c[rep]
+        a = np.minimum(cr, q)
+        b = np.maximum(cr, q)
+        out = batch.iloc[rep].reset_index(drop=True)
+        out["pair_key"] = a * P + b
+        out["side"] = (cr != a).astype(np.int8)
+        return arrow_block(out)
+
+    pair_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+
+    def pair_group(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pair_schema.empty_table()
+        key = int(g["pair_key"].iloc[0])
+        a, b = key // P, key % P
+        ga = g[g["side"] == 0].sort_values(id_col)
+        A = np.stack(ga["embedding"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        aids = ga[id_col].to_numpy()
+        if a == b:
+            sims = A @ A.T
+            i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a, out_b = aids[i], aids[j]  # aids sorted -> a < b
+        else:
+            gb = g[g["side"] == 1]
+            if len(ga) == 0 or len(gb) == 0:
+                return pair_schema.empty_table()
+            B = np.stack(gb["embedding"].to_numpy()).astype(np.float64)
             B /= np.linalg.norm(B, axis=1, keepdims=True)
-            sims = B @ self.M.T
-            bi, mj = np.nonzero(sims >= threshold)
-            a = bids[bi]
-            b = self.ids[mj]
-            keep = a < b  # dedupe + drop self
-            return pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+            bids = gb[id_col].to_numpy()
+            sims = A @ B.T
+            i, j = np.nonzero(sims >= threshold)
+            x, y = aids[i], bids[j]
+            out_a, out_b = np.minimum(x, y), np.maximum(x, y)
+        return arrow_block(
+            pd.DataFrame(
+                {"a_id": out_a.astype(np.int64),
+                 "b_id": out_b.astype(np.int64)}
+            ),
+            schema=pair_schema,
+        )
 
-    return emb_ds.map_batches(
-        PairFinder, batch_format="pandas", concurrency=default_concurrency()
+    fanned = emb_ds.map_batches(fanout, batch_format="pandas")
+    return pre_shuffle(fanned).groupby("pair_key").map_groups(
+        pair_group, batch_format="pandas"
     )

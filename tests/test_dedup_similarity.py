@@ -115,3 +115,68 @@ def test_media_feature_stub(ray_session):
     assert feats["feat_hash"].str.len().eq(32).all()
     with pytest.raises(NotImplementedError):
         mm.MediaFeatureStub.decode_real("media://x/1", b"")
+
+
+def test_embedding_pairs_multichunk_equals_singlechunk(emb_ds):
+    """The block-partitioned self-join is exact: tiny chunks (many
+    chunk-pair groups) and one giant chunk (single group) emit the
+    identical pair set."""
+    from rex_ray.stages.dedup import embedding_dup_pairs
+
+    def run(chunk_rows):
+        df = embedding_dup_pairs(
+            emb_ds, threshold=0.45, chunk_rows=chunk_rows
+        ).to_pandas()
+        return df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+    multi = run(8)       # P = ceil(n/8) chunks
+    single = run(10**9)  # P = 1
+    assert len(multi) > 0          # planted near-dups exist
+    assert multi.equals(single)
+    assert (multi["a_id"] < multi["b_id"]).all()
+    # each unordered pair appears exactly once (no cross-group dup)
+    assert not multi.duplicated().any()
+
+
+def test_simhash_dup_pairs_match_bruteforce_hamming(docs_ds):
+    """Pigeonhole-bucketed simhash pairs == brute-force pairs at
+    hamming <= max_hamming over the full corpus."""
+    from itertools import combinations
+
+    from rex_ray.functions import hashing as H
+    from rex_ray.functions import text as T
+    from rex_ray.stages.dedup import simhash_dup_pairs
+
+    docs = docs_ds.to_pandas()
+    norm = T.normalize_dedup_text(docs["text"])
+    sh = {
+        d: H.simhash64(t.split(" "))
+        for d, t in zip(docs["doc_id"], norm)
+    }
+    for max_h in (0, 3):
+        expect = sorted(
+            (a, b)
+            for a, b in combinations(sorted(sh), 2)
+            if H.hamming64(sh[a], sh[b]) <= max_h
+        )
+        got = simhash_dup_pairs(docs_ds, max_hamming=max_h).to_pandas()
+        got_pairs = sorted(zip(got["doc_a"], got["doc_b"]))
+        assert got_pairs == expect
+        assert len(got_pairs) > 0  # planted dups collide at hamming 0
+
+
+def test_minhash_band_rows_are_slim(docs_ds):
+    """The per-band shuffle carries (band_key, doc_id) ONLY — constant
+    bytes per band row, no text duplication x num_bands."""
+    from rex_ray.stages.dedup import MinHashBander, ShingleSketcher
+
+    sketches = docs_ds.map_batches(
+        ShingleSketcher(k=3), batch_format="pandas"
+    )
+    assert str(sketches.schema().base_schema.field("sh").type) == "string"
+    bands = sketches.map_batches(
+        MinHashBander(), batch_format="pandas"
+    ).materialize()
+    assert bands.schema().names == ["band_key", "doc_id"]
+    bytes_per_row = bands.size_bytes() / bands.count()
+    assert bytes_per_row <= 32  # two int64s + block overhead
