@@ -282,6 +282,29 @@ def q_kg_feature_rows_subword(sf_dir: str):
     return feats.drop_columns(["token_ids", "mask"])
 
 
+def q_kg_usm_relations(sf_dir: str):
+    """USM three-pointer emission + five-way structured join decode
+    (functions/usm.py).  The oracle replicates the decode's exact
+    label-attachment semantics: a relation (h, P, t) survives iff
+    (h, t) is a window pair AND P occurs among h's head-predicates AND
+    among t's tail-predicates — including the decoder's inherent
+    cross-pair label ambiguity (usm.py:146-164 carries no pair
+    identity on label links)."""
+    from rex_ray.stages import usm
+
+    return usm.usm_relations(_docs(sf_dir))
+
+
+def q_kg_globalpointer_scored(sf_dir: str):
+    """Seeded biaffine + RoPE + tril-masked GlobalPointer forward ->
+    thresholded spans with scores.  Model-random output: rows-only
+    driver check; determinism + masking invariants asserted in
+    tests/test_gpointer_usm.py (the kg_scored_triples pattern)."""
+    from rex_ray.stages import gpointer
+
+    return gpointer.score_globalpointer(_docs(sf_dir))
+
+
 def q_kg_ner_type_prf(sf_dir: str):
     """Per-entity-type P/R/F1 of the decoded NER path vs the direct
     gazetteer mentions (macro breakdown semantics of
@@ -474,6 +497,18 @@ WHERE subj_sub_start > 0 AND subj_sub_start < 64
   AND subj_sub_end   > 0 AND subj_sub_end   < 64
   AND obj_sub_start  > 0 AND obj_sub_start  < 64
   AND obj_sub_end    > 0 AND obj_sub_end    < 64
+"""
+
+_SQL["kg_usm_relations"] = f"""
+WITH {_kg_ctes()},
+hp AS (SELECT DISTINCT doc_id, subj_pos AS pos, pred FROM tri),
+tp AS (SELECT DISTINCT doc_id, obj_pos AS pos, pred FROM tri)
+SELECT DISTINCT t.doc_id, t.subj_pos AS head_pos, hp.pred,
+       t.obj_pos AS tail_pos
+FROM tri t
+JOIN hp ON hp.doc_id = t.doc_id AND hp.pos = t.subj_pos
+JOIN tp ON tp.doc_id = t.doc_id AND tp.pos = t.obj_pos
+       AND tp.pred = hp.pred
 """
 
 _SQL["kg_triples"] = f"""
@@ -675,6 +710,8 @@ QUERIES: Dict[str, Callable] = {
     "kg_ner_roundtrip": q_kg_ner_roundtrip,
     "kg_crf_entities": q_kg_crf_entities,
     "kg_feature_rows_subword": q_kg_feature_rows_subword,
+    "kg_usm_relations": q_kg_usm_relations,
+    "kg_globalpointer_scored": q_kg_globalpointer_scored,
     "kg_ner_type_prf": q_kg_ner_type_prf,
     "kg_mrc_entities": q_kg_mrc_entities,
     "kg_mrc_doc_counts": q_kg_mrc_doc_counts,

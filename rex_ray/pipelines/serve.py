@@ -90,3 +90,26 @@ def predict_linked_triples(
         .sort_values(["subj_id", "pred", "obj_id"])
         .reset_index(drop=True)
     )
+
+
+def predict_scored_pairs(
+    texts: List[str],
+    task_dir: Optional[str] = None,
+) -> pd.DataFrame:
+    """texts -> per-relation-scored entity pairs through the fused
+    featurize+score inference stage.  With ``task_dir`` the scorer
+    hosts the saved checkpoint's weights (reference ``from_taskdir``,
+    base_task.py:264-283) instead of the seeded default."""
+    import ray.data as rd
+
+    from rex_ray.stages import scorer
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    scored = scorer.score_docs(ds, task_dir=task_dir, concurrency=(1, 2))
+    return (
+        scored.to_pandas()
+        .sort_values(["doc_id", "subj_pos", "obj_pos"])
+        .reset_index(drop=True)
+    )

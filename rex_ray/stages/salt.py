@@ -37,16 +37,43 @@ SALT_COL = "_salt"
 
 
 def detect_hot_keys(
-    ds, key: str, sample_rows: int = 10_000, hot_fraction: float = 0.01
+    ds, key: str, hot_fraction: float = 0.01, per_block_top: int = 16
 ) -> List:
-    """Keys holding > hot_fraction of a row sample.  The sample is a
-    cheap driver-side take (`ds.limit`), good enough to find heavy
-    hitters — exact counts are not needed, only 'who is hot'."""
-    sample = ds.limit(sample_rows).to_pandas()
-    if len(sample) == 0:
+    """Keys holding > hot_fraction of ALL rows, found with per-block
+    heavy-hitter partials: every batch emits its top ``per_block_top``
+    key counts plus its row count, one tiny aggregate sums them, and
+    the (small) result is thresholded.
+
+    Sees the whole dataset's key distribution — a prefix sample
+    (``ds.limit``) misses hot keys clustered late in the corpus.  A key
+    hot overall is in the per-block top of the blocks that make it hot,
+    so truncating cold tails per block cannot hide it."""
+    from ray.data.aggregate import Sum
+
+    rows_sentinel = "\x00__rows__"
+
+    def partials(b: pd.DataFrame):
+        vc = b[key].value_counts().head(per_block_top)
+        out = pd.DataFrame(
+            {
+                key: list(vc.index) + [rows_sentinel],
+                "n": list(vc.to_numpy()) + [len(b)],
+            }
+        )
+        out["n"] = out["n"].astype("int64")
+        return arrow_block(out)
+
+    counts = (
+        pre_shuffle(ds.map_batches(partials, batch_format="pandas"))
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(counts) == 0:
         return []
-    counts = sample[key].value_counts()
-    return counts[counts > hot_fraction * len(sample)].index.tolist()
+    total = counts.loc[counts[key] == rows_sentinel, "n"].sum()
+    keys = counts[counts[key] != rows_sentinel]
+    return keys.loc[keys["n"] > hot_fraction * total, key].tolist()
 
 
 def salted_groupby(

@@ -189,13 +189,25 @@ class FeaturizeAndScore:
 
 
 def score_docs(docs_ds, vocab=None, weights=None,
-               vocab_size: int = 1 << 16, scorer_cls=None, **kwargs):
+               vocab_size: int = 1 << 16, scorer_cls=None,
+               task_dir: Optional[str] = None, **kwargs):
     """documents (doc_id, text) -> scored pairs, single fused actor
-    stage (the production inference path)."""
+    stage (the production inference path).  ``task_dir`` loads the
+    best trained checkpoint (state/weights.py, the reference's
+    ``from_taskdir`` shape) instead of the seeded default."""
     from rex_ray.stages.features import build_corpus_vocab
 
     if vocab is None:
         vocab = build_corpus_vocab(docs_ds)
+    if weights is None and task_dir is not None:
+        from rex_ray.state.weights import from_taskdir
+
+        wcls = (
+            PcnnWeights
+            if (scorer_cls is None or scorer_cls is PcnnScorer)
+            else BiLstmAttWeights
+        )
+        weights = from_taskdir(wcls, task_dir)
     if weights is None:
         n_rels = len(relation_label_encoder())
         weights = PcnnWeights(vocab_size, n_rels)

@@ -119,3 +119,66 @@ def test_artifact_write_once(tmp_path):
     # lineage file content is valid json on disk
     with open(os.path.join(out, "artifacts", "m.json")) as f:
         assert json.load(f) == {"x": 1}
+
+
+def test_weight_checkpoint_roundtrip_identical_scores(ray_session, tmp_path):
+    """A saved scorer reproduces bit-identical scored output after
+    reload (the trained-checkpoint serving contract)."""
+    import numpy as np
+    import ray.data as rd
+
+    from rex_ray.stages import features, scorer
+    from rex_ray.state import weights as W
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).limit(40)
+    n_rels = len(features.relation_label_encoder())
+    w = scorer.PcnnWeights(vocab_size=1 << 12, n_rels=n_rels, seed=99)
+    task_dir = str(tmp_path / "task")
+    path = W.save_weights(w, task_dir)
+    assert path.endswith("PcnnWeights.best.npz")
+
+    w2 = W.from_taskdir(scorer.PcnnWeights, task_dir)
+    for k, v in vars(w).items():
+        if isinstance(v, np.ndarray):
+            assert np.array_equal(v, getattr(w2, k))
+        else:
+            assert v == getattr(w2, k)
+
+    vocab = features.build_corpus_vocab(docs)
+    a = scorer.score_docs(docs, vocab=vocab, weights=w).to_pandas()
+    b = scorer.score_docs(docs, vocab=vocab, weights=w2).to_pandas()
+    key = ["doc_id", "subj_pos", "obj_pos", "pair_key"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_weight_checkpoint_missing_raises(tmp_path):
+    import pytest
+
+    from rex_ray.stages.scorer import PcnnWeights
+    from rex_ray.state import weights as W
+
+    with pytest.raises(ValueError, match="does not exist"):
+        W.load_weights(PcnnWeights, str(tmp_path))
+
+
+def test_serve_scored_pairs_with_taskdir(ray_session, tmp_path):
+    from rex_ray.pipelines.serve import predict_scored_pairs
+    from rex_ray.stages import features, scorer
+    from rex_ray.state import weights as W
+
+    n_rels = len(features.relation_label_encoder())
+    w = scorer.PcnnWeights(vocab_size=1 << 16, n_rels=n_rels, seed=5)
+    task_dir = str(tmp_path / "t2")
+    W.save_weights(w, task_dir)
+    texts = ["spark join table row hash", "customer order group window"]
+    out_ckpt = predict_scored_pairs(texts, task_dir=task_dir)
+    out_direct = predict_scored_pairs(texts)  # seeded default (seed 1234)
+    assert len(out_ckpt) > 0
+    # same pair set; scores differ because the checkpoint carries
+    # different (seed-5) parameters than the default
+    assert list(out_ckpt["pair_key"]) == list(out_direct["pair_key"])

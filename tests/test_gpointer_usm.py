@@ -1,0 +1,158 @@
+"""GlobalPointer scoring forward (stages/gpointer) and USM structured
+join decode (functions/usm, stages/usm)."""
+
+import numpy as np
+import pandas as pd
+
+from rex_ray.functions.usm import usm_join_decode
+from rex_ray.stages.gpointer import (
+    ENT_TYPES,
+    GlobalPointerScorer,
+    GlobalPointerWeights,
+    rope_rotate,
+)
+from rex_ray.state.dictionaries import Vocab
+
+
+def _scorer(**kw):
+    v = Vocab(["spark", "join", "table", "zz", "yy"])
+    w = GlobalPointerWeights(len(v), len(ENT_TYPES))
+    return GlobalPointerScorer(v, w, **kw), v
+
+
+def test_rope_matches_reference_recipe():
+    """rope_rotate reproduces the reference tensor recipe
+    (global_pointer.py:37-57) step for step — including its
+    concat-halves rotated component paired with interleaved cos/sin
+    (NOT a norm-preserving canonical RoPE; replicated faithfully).
+    Independent literal transcription below."""
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(2, 6, 8))
+    k = rng.normal(size=(2, 6, 8))
+    qr, kr = rope_rotate(q, k)
+
+    B, L, d = q.shape
+    position_ids = np.arange(L, dtype=float)[:, None]
+    indices = np.power(
+        10000.0, -2.0 * np.arange(d // 2, dtype=float) / d
+    )
+    pos = position_ids * indices
+    pos_emb = np.stack([np.sin(pos), np.cos(pos)], axis=-1).reshape(L, d)
+    cos_pos = np.repeat(pos_emb[:, 1::2], 2, axis=-1)
+    sin_pos = np.repeat(pos_emb[:, 0::2], 2, axis=-1)
+    for b in range(B):
+        qw2 = np.concatenate([-q[b][:, 1::2], q[b][:, 0::2]], axis=-1)
+        kw2 = np.concatenate([-k[b][:, 1::2], k[b][:, 0::2]], axis=-1)
+        assert np.allclose(qr[b], q[b] * cos_pos + qw2 * sin_pos)
+        assert np.allclose(kr[b], k[b] * cos_pos + kw2 * sin_pos)
+    # position 0: sin = 0 on every frequency pair's first component ->
+    # the rotation leaves cos-weighted q only; ensure position
+    # dependence exists at later positions
+    assert not np.allclose(qr[:, 1], q[:, 1])
+
+
+def test_gpointer_tril_mask_kills_lower_triangle_and_pad():
+    sc, v = _scorer(threshold=-1e9)  # keep everything decodable
+    ids, mask = v.encode_batch([["spark", "join", "zz"]], 5)
+    logits = sc.forward(np.asarray(ids), np.asarray(mask))
+    # spans with end < start (strict lower triangle) are masked out
+    assert (logits[0, :, 2, 0] < -1e8).all()
+    assert (logits[0, :, 1, 0] < -1e8).all()
+    # pad positions (3, 4) are masked out
+    assert (logits[0, :, 0, 3] < -1e8).all()
+    assert (logits[0, :, 4, 4] < -1e8).all()
+    # valid upper-triangle cells are finite and scaled
+    assert abs(logits[0, 0, 0, 2]) < 1e6
+
+
+def test_gpointer_deterministic_and_threshold_monotone():
+    sc, _ = _scorer()
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["spark join table zz", "yy zz spark"]}
+    )
+    a = sc(batch).to_pandas()
+    b = sc(batch).to_pandas()
+    assert a.equals(b)
+    sc_hi, _ = _scorer(threshold=10.0)
+    assert len(sc_hi(batch).to_pandas()) == 0
+    assert (a["score"] > sc.threshold).all()
+    assert (a["end_pos"] > a["start_pos"]).all()  # tril mask respected
+
+
+def test_usm_join_decode_entity_and_relation():
+    """Hand-built links for 'A implements B' (single-token spans at
+    positions 1 and 3) — reference usm.py:107-166 semantics."""
+    lm = {
+        0: {"type": "m", "string": "SYS"},
+        1: {"type": "m", "string": "ALGO"},
+        2: {"type": "p", "string": "implements"},
+    }
+    ttl = [(1, 1, 0), (3, 3, 0), (1, 3, 1), (1, 3, 2)]
+    ltl = [(0, 1, 0), (0, 1, 1), (1, 3, 0), (1, 3, 1),
+           (2, 1, 0), (2, 1, 1)]
+    tll = [(3, 2, 0), (3, 2, 1)]
+    dec = usm_join_decode(ttl, ltl, tll, lm)
+    assert dec["ents"] == [((1, 1), "SYS"), ((3, 3), "ALGO")]
+    assert dec["relations"] == [((1, 1), "implements", (3, 3))]
+
+
+def test_usm_join_decode_requires_all_five_links():
+    """Dropping any leg of the conjunction kills the relation."""
+    lm = {0: {"type": "p", "string": "rel"}}
+    full_ttl = [(0, 0, 0), (2, 2, 0), (0, 2, 1), (0, 2, 2)]
+    full_ltl = [(0, 0, 0), (0, 0, 1)]
+    full_tll = [(2, 0, 0), (2, 0, 1)]
+    ok = usm_join_decode(full_ttl, full_ltl, full_tll, lm)
+    assert ok["relations"] == [((0, 0), "rel", (2, 2))]
+    # no h2h -> no pair
+    no_h2h = [x for x in full_ttl if x[2] != 1]
+    assert usm_join_decode(no_h2h, full_ltl, full_tll, lm)["relations"] == []
+    # no label->head-span -> no predicate attachment
+    assert usm_join_decode(full_ttl, [], full_tll, lm)["relations"] == []
+    # no tail-span->label -> no predicate attachment
+    assert usm_join_decode(full_ttl, full_ltl, [], lm)["relations"] == []
+
+
+def test_usm_decode_label_ambiguity_is_faithful():
+    """Chained same-pred pairs (1->2, 2->3) plus a window pair (1, 3)
+    with a DIFFERENT pred: the decoder's pair-agnostic label links
+    also emit (1, predX, 3) — the reference semantics the SQL oracle
+    replicates."""
+    lm = {
+        0: {"type": "p", "string": "X"},
+        1: {"type": "p", "string": "W"},
+    }
+    ttl = [(1, 1, 0), (2, 2, 0), (3, 3, 0),
+           (1, 2, 1), (1, 2, 2), (2, 3, 1), (2, 3, 2),
+           (1, 3, 1), (1, 3, 2)]
+    ltl = [(0, 1, 0), (0, 1, 1),    # X on head span (1,1)  [pair 1->2]
+           (0, 2, 0), (0, 2, 1),    # X on head span (2,2)  [pair 2->3]
+           (1, 1, 0), (1, 1, 1)]    # W on head span (1,1)  [pair 1->3]
+    tll = [(2, 0, 0), (2, 0, 1),    # X on tail span (2,2)
+           (3, 0, 0), (3, 0, 1),    # X on tail span (3,3)
+           (3, 1, 0), (3, 1, 1)]    # W on tail span (3,3)
+    rels = usm_join_decode(ttl, ltl, tll, lm)["relations"]
+    assert ((1, 1), "X", (2, 2)) in rels
+    assert ((2, 2), "X", (3, 3)) in rels
+    assert ((1, 1), "W", (3, 3)) in rels
+    assert ((1, 1), "X", (3, 3)) in rels  # the inherent ambiguity
+
+
+def test_usm_stage_matches_pairwise_rule(ray_session):
+    import ray.data as rd
+
+    from rex_ray.stages.usm import usm_relations
+
+    docs = pd.DataFrame(
+        {"doc_id": [1], "text": ["spark join zz table"]}
+    )
+    out = usm_relations(rd.from_pandas(docs)).to_pandas()
+    got = sorted(zip(out["head_pos"], out["pred"], out["tail_pos"]))
+    # pairs: spark(0)->join(1) implements, spark(0)->table(3) stores,
+    # join(1)->table(3) pred of (ALGO, OBJ)
+    from rex_ray.pipelines import spec
+
+    algo_obj = spec.PRED_MAP.get(("ALGO", "OBJ"), spec.PRED_FALLBACK)
+    assert (0, "implements", 1) in got
+    assert (0, "stores", 3) in got
+    assert (1, algo_obj, 3) in got

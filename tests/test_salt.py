@@ -70,3 +70,32 @@ def test_salt_splits_hot_key_partials():
     salts = np.zeros(len(b), dtype=np.int64)
     salts[is_hot] = np.arange(int(is_hot.sum())) % 4
     assert len(np.unique(salts[is_hot])) == 4  # all 4 sub-keys used
+
+
+def test_detect_hot_keys_finds_late_clustered_hot_key(ray_session):
+    """A hot key living ONLY in the last partition must be detected —
+    the round-1 prefix-limit sample missed exactly this case."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.salt import detect_hot_keys
+
+    cold = pd.DataFrame(
+        {"k": [f"cold{i}" for i in range(5000)], "v": 1}
+    )
+    hot_tail = pd.DataFrame({"k": ["HOT"] * 2500, "v": 1})
+    ds = rd.from_pandas([cold, hot_tail])  # HOT only in the last block
+    hot = detect_hot_keys(ds, "k", hot_fraction=0.01)
+    assert hot == ["HOT"]
+
+
+def test_detect_hot_keys_empty_and_uniform(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.salt import detect_hot_keys
+
+    uniform = rd.from_pandas(
+        pd.DataFrame({"k": [f"u{i}" for i in range(1000)]})
+    )
+    assert detect_hot_keys(uniform, "k", hot_fraction=0.01) == []
