@@ -305,6 +305,17 @@ def q_kg_globalpointer_scored(sf_dir: str):
     return gpointer.score_globalpointer(_docs(sf_dir))
 
 
+def q_kg_disambiguated_mentions(sf_dir: str):
+    """Ambiguous-surface mentions resolved by embedding-cosine context
+    similarity (broadcast candidate matrix, one matmul per batch).
+    One-hot marker embeddings make the cosine argmax equal a
+    marker-count rule the oracle replicates; ties break to the smaller
+    entity id."""
+    from rex_ray.stages import link
+
+    return link.disambiguate_mentions(_docs(sf_dir))
+
+
 def q_kg_ner_type_prf(sf_dir: str):
     """Per-entity-type P/R/F1 of the decoded NER path vs the direct
     gazetteer mentions (macro breakdown semantics of
@@ -497,6 +508,37 @@ WHERE subj_sub_start > 0 AND subj_sub_start < 64
   AND subj_sub_end   > 0 AND subj_sub_end   < 64
   AND obj_sub_start  > 0 AND obj_sub_start  < 64
   AND obj_sub_end    > 0 AND obj_sub_end    < 64
+"""
+
+_SQL["kg_disambiguated_mentions"] = f"""
+WITH tok AS ({spec.SQL_TOKENS}),
+amb AS (SELECT * FROM {spec.sql_ambig_values()}),
+m AS (
+    SELECT DISTINCT t.doc_id, t.pos, t.tok AS surface
+    FROM tok t WHERE t.tok IN (SELECT DISTINCT surface FROM amb)
+),
+ctx AS (
+    SELECT m.doc_id, m.pos, m.surface, t.tok
+    FROM m JOIN tok t
+      ON t.doc_id = m.doc_id
+     AND t.pos BETWEEN m.pos - {spec.AMBIG_CONTEXT_RADIUS}
+                   AND m.pos + {spec.AMBIG_CONTEXT_RADIUS}
+     AND t.pos != m.pos
+),
+scored AS (
+    SELECT m.doc_id, m.pos, m.surface, a.entity_id,
+           count(c.tok) AS score
+    FROM m
+    JOIN amb a ON a.surface = m.surface
+    LEFT JOIN ctx c ON c.doc_id = m.doc_id AND c.pos = m.pos
+                   AND c.tok = a.marker
+    GROUP BY m.doc_id, m.pos, m.surface, a.entity_id
+)
+SELECT doc_id, pos, surface, entity_id FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id, pos, surface
+    ORDER BY score DESC, entity_id ASC
+) = 1
 """
 
 _SQL["kg_usm_relations"] = f"""
@@ -711,6 +753,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_crf_entities": q_kg_crf_entities,
     "kg_feature_rows_subword": q_kg_feature_rows_subword,
     "kg_usm_relations": q_kg_usm_relations,
+    "kg_disambiguated_mentions": q_kg_disambiguated_mentions,
     "kg_globalpointer_scored": q_kg_globalpointer_scored,
     "kg_ner_type_prf": q_kg_ner_type_prf,
     "kg_mrc_entities": q_kg_mrc_entities,

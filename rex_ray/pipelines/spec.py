@@ -85,6 +85,25 @@ VARIANT_EDGES: List[Tuple[str, str]] = [
 ]
 
 ENTITY_ID_PREFIX = "ent:"
+
+# Ambiguous-alias fixture for embedding-similarity disambiguation:
+# surface -> {candidate entity id -> marker tokens}.  Each candidate's
+# "entity embedding" is one-hot over its markers (all candidates carry
+# the SAME marker count, so cosine argmax == context marker-count
+# argmax — closed form for the oracle, real broadcast-matrix dot
+# product in the stage).  Winner = most context-window marker hits,
+# ties -> lexicographically smaller entity id.
+AMBIG_ALIASES: Dict[str, Dict[str, List[str]]] = {
+    "scan": {
+        "ent:scan#idx": ["hash", "join"],
+        "ent:scan#seq": ["table", "row"],
+    },
+    "window": {
+        "ent:window#buf": ["line", "vector"],
+        "ent:window#time": ["order", "sort"],
+    },
+}
+AMBIG_CONTEXT_RADIUS = 2
 BAG_KEY_SEP = "###"
 
 # Confidence tiers reported by the threshold-filter query, mirroring the
@@ -127,6 +146,17 @@ def sql_pred_case(head_type: str = "h.ent_type", tail_type: str = "t.ent_type") 
         for (ht, tt), p in sorted(PRED_MAP.items())
     )
     return f"CASE\n        {whens}\n        ELSE '{PRED_FALLBACK}' END"
+
+
+def sql_ambig_values() -> str:
+    """(surface, entity_id, marker) rows of AMBIG_ALIASES."""
+    rows = ", ".join(
+        f"('{s}', '{e}', '{m}')"
+        for s, cands in sorted(AMBIG_ALIASES.items())
+        for e, markers in sorted(cands.items())
+        for m in markers
+    )
+    return f"(VALUES {rows}) AS amb(surface, entity_id, marker)"
 
 
 def sql_variant_edges_values() -> str:

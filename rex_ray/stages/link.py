@@ -9,10 +9,11 @@ per batch.  NIL mentions (surface absent from the dictionary) keep a
 
 Disambiguation: when a surface maps to MULTIPLE candidate canonical
 ids, the candidate whose entity embedding is most cosine-similar to the
-mention's context embedding wins.  Embeddings here are deterministic
-hashed bag-of-words vectors (no model weights in the sandbox); the
-plumbing — broadcast candidate matrix, per-batch numpy matmul — is the
-real, scale-ready part.
+mention's context embedding wins.  Candidate embeddings are one-hot
+marker vectors from the spec fixture (equal norms, so the cosine
+argmax is closed-form for the oracle); the plumbing — broadcast
+candidate matrix, ONE batch-level matmul — is the real, scale-ready
+part, and a learned entity-embedding table drops into the same matrix.
 """
 
 from __future__ import annotations
@@ -70,52 +71,75 @@ class CanonicalLinker:
 
 
 class EmbeddingDisambiguator:
-    """Ambiguous-surface resolution by cosine similarity.
+    """Ambiguous-surface resolution by embedding cosine similarity.
 
-    ``candidates``: surface -> list of candidate entity ids.  The
-    candidate embedding matrix is built once per actor; per batch, the
-    context embedding (hashed BoW of a +-2-token window) is compared to
-    all candidates of the surface with one vectorized dot product.
+    ``candidates``: surface -> {entity id -> marker tokens} (the spec's
+    ``AMBIG_ALIASES`` shape).  Each candidate's entity embedding is a
+    one-hot vector over the marker vocabulary (equal marker counts per
+    candidate, so cosine argmax reduces to the context marker-count
+    argmax — the property the DuckDB oracle checks); the context
+    embedding is the count vector of the mention's +-radius window
+    tokens over that same vocabulary.
+
+    Fully vectorized: the candidate matrix C is built once per actor;
+    per batch, ONE ``X @ C.T`` scores every (mention, candidate) pair,
+    a per-surface candidate mask restricts the argmax, and ties break
+    to the lexicographically smaller entity id (candidate rows sorted
+    by id, argmax takes the first maximum).
     """
 
-    def __init__(
-        self,
-        candidates_ref,
-        dim: int = 32,
-        entity_vectors: Optional[Dict[str, np.ndarray]] = None,
-    ):
-        cands: Dict[str, List[str]] = (
+    def __init__(self, candidates_ref, radius: int = 2):
+        cands: Dict[str, Dict[str, List[str]]] = (
             ray.get(candidates_ref)
             if isinstance(candidates_ref, ray.ObjectRef)
             else candidates_ref
         )
-        self.dim = dim
-        self._cands = cands
-        ids = sorted({e for lst in cands.values() for e in lst})
-        if entity_vectors is None:
-            entity_vectors = {e: hashed_embedding([e], dim) for e in ids}
-        self._emb = {e: entity_vectors[e] for e in ids}
+        self.radius = radius
+        self._window_cols = [
+            f"w{o:+d}" for o in range(-radius, radius + 1) if o != 0
+        ]
+        markers = sorted(
+            {m for c in cands.values() for ms in c.values() for m in ms}
+        )
+        self._marker_idx = {m: i for i, m in enumerate(markers)}
+        # candidate rows sorted by entity id -> argmax tie = smaller id
+        self.cand_ids = sorted(
+            {e for c in cands.values() for e in c}
+        )
+        cid = {e: i for i, e in enumerate(self.cand_ids)}
+        self.C = np.zeros((len(self.cand_ids), len(markers)))
+        self._surfaces = sorted(cands)
+        sidx = {s: i for i, s in enumerate(self._surfaces)}
+        self._surface_idx = sidx
+        self.mask = np.zeros(
+            (len(self._surfaces), len(self.cand_ids)), dtype=bool
+        )
+        for s, cmap in cands.items():
+            for e, ms in cmap.items():
+                for m in ms:
+                    self.C[cid[e], self._marker_idx[m]] = 1.0
+                self.mask[sidx[s], cid[e]] = True
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # batch: mention rows with doc text context column 'context'
-        # (list of window tokens, provided by the extractor)
-        chosen = []
-        for surface, context in zip(batch["surface"], batch["context"]):
-            cands = self._cands.get(surface)
-            if not cands:
-                chosen.append(None)
-                continue
-            if len(cands) == 1:
-                chosen.append(cands[0])
-                continue
-            ctx = hashed_embedding(list(context), self.dim)
-            mat = np.stack([self._emb[c] for c in cands])
-            sims = mat @ ctx
-            # deterministic tie-break: highest sim, then id order
-            best = int(np.lexsort((np.array(cands), -sims))[0])
-            chosen.append(cands[best])
+        """mention rows (surface + window-token columns w-2..w+2) ->
+        + entity_id column."""
+        n = len(batch)
+        X = np.zeros((n, len(self._marker_idx)))
+        rows = np.arange(n)
+        for col in self._window_cols:
+            idx = batch[col].map(self._marker_idx)
+            valid = idx.notna().to_numpy()
+            np.add.at(
+                X, (rows[valid], idx[valid].astype(np.int64)), 1.0
+            )
+        sims = X @ self.C.T  # (n, n_candidates)
+        srow = batch["surface"].map(self._surface_idx).to_numpy(
+            dtype=np.int64
+        )
+        sims = np.where(self.mask[srow], sims, -np.inf)
+        best = sims.argmax(axis=1)
         out = batch.copy()
-        out["entity_id"] = chosen
+        out["entity_id"] = np.asarray(self.cand_ids, dtype=object)[best]
         return out
 
 
@@ -155,3 +179,65 @@ def link_triples(triples_ds, canonical: Dict[str, str],
         return linker(batch)
 
     return triples_ds.map_batches(fn, batch_format="pandas", **kwargs)
+
+
+def ambiguous_mentions_with_context(docs_ds, radius: int = 2):
+    """(doc_id, text) -> one row per AMBIG_ALIASES-surface mention with
+    its +-radius window tokens as columns w-2..w+2 (None beyond the doc
+    edge).  Vectorized: explode + isin + one hash merge per offset."""
+    import pyarrow as pa
+
+    from rex_ray.pipelines import spec
+    from rex_ray.stages.extract import _doc_id_type, _explode_tokens
+
+    surfaces = set(spec.AMBIG_ALIASES)
+
+    def fn(batch: pd.DataFrame) -> "pa.Table":
+        from rex_ray.functions.blocks import arrow_block
+
+        ex = _explode_tokens(batch)
+        m = ex[ex["tok"].isin(surfaces)].rename(
+            columns={"tok": "surface"}
+        )
+        look = ex.rename(columns={"tok": "w"})
+        for off in range(-radius, radius + 1):
+            if off == 0:
+                continue
+            col = f"w{off:+d}"
+            shifted = look.assign(pos=look["pos"] - off)
+            m = m.merge(
+                shifted.rename(columns={"w": col}),
+                on=["doc_id", "pos"],
+                how="left",
+            )
+        m["pos"] = m["pos"].astype("int64")
+        cols = ["doc_id", "pos", "surface"] + [
+            f"w{o:+d}" for o in range(-radius, radius + 1) if o != 0
+        ]
+        schema = pa.schema(
+            [("doc_id", _doc_id_type(batch["doc_id"])),
+             ("pos", pa.int64()), ("surface", pa.string())]
+            + [(c, pa.string()) for c in cols[3:]]
+        )
+        return arrow_block(m[cols].reset_index(drop=True), schema=schema)
+
+    return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def disambiguate_mentions(docs_ds, radius: int = None, **kwargs):
+    """documents -> disambiguated ambiguous-surface mentions
+    (doc_id, pos, surface, entity_id) via the broadcast candidate
+    matrix + one vectorized dot product per batch."""
+    from rex_ray.pipelines import spec
+
+    r = radius if radius is not None else spec.AMBIG_CONTEXT_RADIUS
+    ctx = ambiguous_mentions_with_context(docs_ds, radius=r)
+    ref = ray.put(spec.AMBIG_ALIASES)
+    out = ctx.map_batches(
+        EmbeddingDisambiguator,
+        fn_constructor_kwargs={"candidates_ref": ref, "radius": r},
+        batch_format="pandas",
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
+        **kwargs,
+    )
+    return out.select_columns(["doc_id", "pos", "surface", "entity_id"])

@@ -116,3 +116,36 @@ def test_hashed_embedding_deterministic_unit():
     b = hashed_embedding(["alpha", "beta"])
     assert np.allclose(a, b)
     assert abs(np.linalg.norm(a) - 1.0) < 1e-12
+
+
+def test_embedding_disambiguator_context_decides_and_ties_break(ray_session):
+    """Context markers pick the candidate; zero-evidence ties go to the
+    lexicographically smaller entity id (oracle rule)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.pipelines import spec
+    from rex_ray.stages.link import disambiguate_mentions
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hash scan join zz",     # idx markers around 'scan'
+                "table scan row zz",     # seq markers around 'scan'
+                "zz zz scan zz zz",      # no markers -> tie -> smaller id
+                "order window sort zz",  # time markers around 'window'
+            ],
+        }
+    )
+    out = (
+        disambiguate_mentions(rd.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")["entity_id"]
+        .to_dict()
+    )
+    assert out[1] == "ent:scan#idx"
+    assert out[2] == "ent:scan#seq"
+    assert out[3] == "ent:scan#idx"  # tie -> lexicographically smaller
+    assert out[4] == "ent:window#time"
+    assert set(spec.AMBIG_ALIASES) == {"scan", "window"}
