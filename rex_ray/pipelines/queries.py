@@ -249,6 +249,27 @@ def q_kg_bag_att(sf_dir: str):
     return scorer.bag_scores_att(scorer.score_docs(_docs(sf_dir)))
 
 
+def q_kg_bag_one_rule(sf_dir: str):
+    """The bag-ONE reduce (per-relation max, argmax label) over
+    deterministic integer member scores — upgrades the reduce operator
+    itself from rows-only to oracle-checked; kg_bag_one keeps the
+    model-scored members."""
+    from rex_ray.stages import scorer
+
+    return scorer.bag_scores_one(scorer.rule_scored_pairs(_docs(sf_dir)))
+
+
+def q_kg_bag_att_rule(sf_dir: str):
+    """The bag-ATT reduce in linear-weight mode over integer member
+    scores: weighted sums are exact in float64, so the attention
+    decomposition (sum(w*s)/sum(w)) hash-matches the oracle."""
+    from rex_ray.stages import scorer
+
+    return scorer.bag_scores_att(
+        scorer.rule_scored_pairs(_docs(sf_dir)), weight="linear"
+    )
+
+
 def q_kg_ner_roundtrip(sf_dir: str):
     """mentions -> BIO tags -> reference decoder -> entity rows; the
     oracle derives the same rows directly from the mention CTE, so any
@@ -541,6 +562,45 @@ QUALIFY row_number() OVER (
 ) = 1
 """
 
+_SQL["kg_bag_one_rule"] = f"""
+WITH {_kg_ctes()},
+mem AS (
+    SELECT subj || '{spec.BAG_KEY_SEP}' || obj AS pair_key, pred,
+           CAST(round(12 * score) AS DOUBLE) AS s
+    FROM tri
+),
+per_rel AS (
+    SELECT pair_key, pred, max(s) AS mx FROM mem GROUP BY 1, 2
+),
+nm AS (
+    SELECT pair_key, CAST(count(*) AS BIGINT) AS n_members
+    FROM mem GROUP BY 1
+)
+SELECT p.pair_key, p.pred AS bag_label, p.mx AS bag_score, nm.n_members
+FROM per_rel p JOIN nm USING (pair_key)
+QUALIFY row_number() OVER (
+    PARTITION BY p.pair_key ORDER BY p.mx DESC, p.pred ASC
+) = 1
+"""
+
+_SQL["kg_bag_att_rule"] = f"""
+WITH {_kg_ctes()},
+mem AS (
+    SELECT subj || '{spec.BAG_KEY_SEP}' || obj AS pair_key, pred,
+           CAST(round(12 * score) AS DOUBLE) AS s
+    FROM tri
+),
+num AS (
+    SELECT pair_key, pred, sum(s * s) AS num FROM mem GROUP BY 1, 2
+),
+wt AS (SELECT pair_key, sum(s) AS wsum FROM mem GROUP BY 1)
+SELECT n.pair_key, n.pred AS bag_label, n.num / w.wsum AS bag_score
+FROM num n JOIN wt w USING (pair_key)
+QUALIFY row_number() OVER (
+    PARTITION BY n.pair_key ORDER BY n.num / w.wsum DESC, n.pred ASC
+) = 1
+"""
+
 _SQL["kg_usm_relations"] = f"""
 WITH {_kg_ctes()},
 hp AS (SELECT DISTINCT doc_id, subj_pos AS pos, pred FROM tri),
@@ -749,6 +809,8 @@ QUERIES: Dict[str, Callable] = {
     "kg_scored_triples_bilstm": q_kg_scored_triples_bilstm,
     "kg_bag_one": q_kg_bag_one,
     "kg_bag_att": q_kg_bag_att,
+    "kg_bag_one_rule": q_kg_bag_one_rule,
+    "kg_bag_att_rule": q_kg_bag_att_rule,
     "kg_ner_roundtrip": q_kg_ner_roundtrip,
     "kg_crf_entities": q_kg_crf_entities,
     "kg_feature_rows_subword": q_kg_feature_rows_subword,

@@ -354,6 +354,34 @@ def score_pairs_bilstm(feature_ds, weights: Optional[BiLstmAttWeights] = None,
     )
 
 
+def rule_scored_pairs(docs_ds, **kwargs):
+    """Deterministic INTEGER-valued member score vectors for the bag
+    reduces: one row per extracted pair, ``scores[r] = 12/distance``
+    (an exact integer for the spec's window of 4) on the rule
+    predicate, 0 elsewhere.  Makes the bag-ONE max and the linear-
+    weight bag-ATT sums exactly representable, so the reduces are
+    DuckDB-oracle-checkable (kg_bag_one_rule / kg_bag_att_rule); the
+    model-scored variants keep these rows-only."""
+    from rex_ray.stages.extract import extract_triples
+
+    labels = relation_label_encoder()
+    n_rels = len(labels)
+
+    def to_scores(t: pa.Table) -> pa.Table:
+        pred_ids = np.asarray(labels.encode(t["pred"].to_pylist()))
+        # score is 1/d (d in 1..4); rint repairs the float64 rounding
+        # of 12 * (1/3) so the member values are exact {12, 6, 4, 3}
+        sval = np.rint(t["score"].to_numpy() * 12.0)
+        mat = np.zeros((t.num_rows, n_rels), dtype=np.float64)
+        mat[np.arange(t.num_rows), pred_ids] = sval
+        out = pa.table({"pair_key": t["pair_key"]})
+        return out.append_column("scores", fixed_list_column(mat))
+
+    return extract_triples(docs_ds, **kwargs).map_batches(
+        to_scores, batch_format="pyarrow"
+    )
+
+
 # -- bag reduces (associative -> partial agg + one shuffle) ----------------
 
 def _rel_cols(n_rels: int):
@@ -402,18 +430,27 @@ def bag_scores_one(scored_ds, n_rels: Optional[int] = None):
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
-def bag_scores_att(scored_ds, n_rels: Optional[int] = None):
+def bag_scores_att(scored_ds, n_rels: Optional[int] = None,
+                   weight: str = "exp"):
     """PCNN-ATT semantics: softmax attention over bag members, weighted
     average of member score vectors.  Decomposed associatively:
     weight_i = exp(max_logit_i); bag score = sum(w_i * s_i) / sum(w_i)
-    — both sums shuffle as Sum aggregates."""
+    — both sums shuffle as Sum aggregates.
+
+    ``weight="linear"`` (w_i = max_logit_i) is the oracle-checkable
+    operating mode: with integer-valued member scores every partial sum
+    is exact in float64, so the Ray reduce and the DuckDB oracle agree
+    bit-for-bit regardless of summation order (kg_bag_att_rule).  The
+    exp mode keeps the reference's softmax-attention semantics."""
     if n_rels is None:
         n_rels = len(relation_label_encoder())
     cols = _rel_cols(n_rels)
+    assert weight in ("exp", "linear")
 
     def explode(t: pa.Table) -> pa.Table:
         s = matrix_from_column(t, "scores")
-        w = np.exp(s.max(axis=1))  # (n,)
+        mx = s.max(axis=1)
+        w = np.exp(mx) if weight == "exp" else mx  # (n,)
         df = pd.DataFrame(
             {"pair_key": t["pair_key"].to_pylist(), "wsum": w}
         )
