@@ -118,11 +118,46 @@ class MinHashBander:
         )
 
 
+_SIDE_CACHE: dict = {}
+
+
+def _worker_built_ref(ds, build_fn):
+    """Reduce a (small) Dataset into one broadcastable Python object
+    INSIDE a Ray task — the driver only ever holds the ObjectRef, so
+    there is no driver-side row materialization.  ``build_fn`` receives
+    the dataset's Arrow tables and returns the object (a key set, a
+    lookup dict, ...)."""
+    import ray as _ray
+
+    @_ray.remote
+    def build(*tables):
+        return build_fn(tables)
+
+    return build.remote(*ds.to_arrow_refs())
+
+
+def _side_object(ref):
+    """Resolve a broadcast side object once per worker process."""
+    key = ref.hex()
+    obj = _SIDE_CACHE.get(key)
+    if obj is None:
+        import ray as _ray
+
+        obj = _SIDE_CACHE[key] = _ray.get(ref)
+        while len(_SIDE_CACHE) > 8:
+            _SIDE_CACHE.pop(next(iter(_SIDE_CACHE)))
+    return obj
+
+
 def _hot_bucket_rows(bands_ds, key_col: str):
     """Band rows whose bucket holds >= 2 rows — the only ones that can
     emit a candidate pair.  Vectorized Arrow partial count + one tiny
-    aggregate, then a SEMI-JOIN of the bands against the hot-key set —
-    entirely dataset-to-dataset, nothing through the driver."""
+    aggregate; the hot-key set is then built INSIDE a worker
+    (``_worker_built_ref``) and applied as a broadcast map-side filter
+    — no driver rows, and none of ``Dataset.join``'s actor-pool
+    spin-up (measured ~30 s of fixed overhead per join at sf0.1).
+    Scale assumption: the hot-key set (O(duplicate clusters)) fits one
+    worker's heap; beyond that, swap the filter for a hash join."""
     from ray.data.aggregate import Sum
 
     partial = bands_ds.map_batches(
@@ -136,9 +171,24 @@ def _hot_bucket_rows(bands_ds, key_col: str):
         Sum("n", alias_name="n")
     )
     hot_keys = counts.filter(expr="n >= 2").drop_columns(["n"])
-    from rex_ray.stages.relational import hash_join
+    key_ref = _worker_built_ref(
+        hot_keys,
+        lambda tables: set().union(
+            *(t[key_col].to_pylist() for t in tables)
+        )
+        if tables
+        else set(),
+    )
+    import pyarrow.compute as pc
 
-    return hash_join(bands_ds, hot_keys, on=key_col, num_partitions=16)
+    def keep_hot(t: pa.Table, _ref=key_ref, _col=key_col) -> pa.Table:
+        keys = _side_object(_ref)
+        if not keys:
+            return t.schema.empty_table()
+        vs = pa.array(sorted(keys), type=t[_col].type)
+        return t.filter(pc.is_in(t[_col], value_set=vs))
+
+    return bands_ds.map_batches(keep_hot, batch_format="pyarrow")
 
 
 def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
@@ -147,37 +197,105 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     Dataflow (every exchange carries bounded rows):
       1. sketch side table (doc_id, shingles) — one pass over text;
       2. slim band rows (band_key, doc_id) from the sketches;
-      3. hot buckets via counts + semi-join (no driver collect);
-      4. sketches joined to HOT rows only, exact Jaccard verified
-         inside each bucket group;
+      3. hot buckets via partial counts + a worker-built broadcast
+         key-set filter (no driver rows, no join operator);
+      4. hot-DOC sketches broadcast as a worker-built lookup dict;
+         exact Jaccard verified inside each bucket group over the
+         slim hot rows;
       5. global pair dedup (a pair can collide in several bands).
-    Returns (doc_a, doc_b) with doc_a < doc_b.
+    Returns (doc_a, doc_b) with doc_a < doc_b.  Small-side assumption
+    (documented in :func:`_hot_bucket_rows`): hot keys / hot-doc
+    sketches are O(duplicate clusters) and fit one worker's heap.
     """
     from ray.data.aggregate import Count
 
-    from rex_ray.stages.relational import hash_join
+    # ONE fused pass over the text emits both outputs as a tagged
+    # union (band rows kind='b' with null sh; sketch rows kind='s'
+    # with null band_key) — shingles are computed once, and a single
+    # materialize feeds all downstream consumers via cheap map-side
+    # filters.  Task-based: the hash family is tiny and ships with
+    # the task.
+    sketcher, bander = ShingleSketcher(k=k), MinHashBander()
 
-    # task-based: the hash family is tiny and ships with the task
-    # (actor pools pay seconds of per-pipeline spin-up for no benefit)
-    sketches = docs_ds.map_batches(
-        ShingleSketcher(k=k), batch_format="pandas"
-    ).materialize()  # consumed twice: band derivation + hot-row verify
-    bands = sketches.map_batches(
-        MinHashBander(), batch_format="pandas"
-    ).materialize()  # consumed twice: bucket counts + semi-join probe
+    def fused(batch: pd.DataFrame) -> pa.Table:
+        sk_t = sketcher(batch)
+        bd_t = bander(
+            pd.DataFrame(
+                {
+                    "doc_id": sk_t["doc_id"].to_pylist(),
+                    "sh": sk_t["sh"].to_pylist(),
+                }
+            )
+        )
+        n_s, n_b = sk_t.num_rows, bd_t.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["s"] * n_s + ["b"] * n_b),
+                "doc_id": pa.concat_arrays(
+                    [sk_t["doc_id"].combine_chunks(),
+                     bd_t["doc_id"].combine_chunks()]
+                ),
+                "sh": pa.concat_arrays(
+                    [sk_t["sh"].combine_chunks(),
+                     pa.nulls(n_b, pa.string())]
+                ),
+                "band_key": pa.concat_arrays(
+                    [pa.nulls(n_s, pa.int64()),
+                     bd_t["band_key"].combine_chunks()]
+                ),
+            }
+        )
 
-    # stage the (small) hot-row set between the two joins: chained
-    # un-materialized join operators each reserve an actor pool and can
-    # deadlock the streaming executor on small CPU counts
+    tagged = docs_ds.map_batches(fused, batch_format="pandas").materialize()
+    sketches = tagged.filter(expr="kind == 's'").select_columns(
+        ["doc_id", "sh"]
+    )
+    bands = tagged.filter(expr="kind == 'b'").select_columns(
+        ["band_key", "doc_id"]
+    )
+
     hot = pre_shuffle(_hot_bucket_rows(bands, "band_key"))
-    verif_in = hash_join(hot, sketches, on="doc_id", num_partitions=16)
 
-    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+    # hot-DOC sketch lookup, built worker-side from the sketches
+    # filtered to hot docs only (O(duplicate clusters) entries — the
+    # same small-side assumption as the hot-key set; a hash join is
+    # the fallback beyond that)
+    import pyarrow.compute as pc
+
+    doc_ref = _worker_built_ref(
+        hot,
+        lambda tables: set().union(
+            *(t["doc_id"].to_pylist() for t in tables)
+        )
+        if tables
+        else set(),
+    )
+
+    def keep_hot_docs(t: pa.Table, _ref=doc_ref) -> pa.Table:
+        docs = _side_object(_ref)
+        if not docs:
+            return t.schema.empty_table()
+        vs = pa.array(sorted(docs), type=pa.int64())
+        return t.filter(pc.is_in(t["doc_id"], value_set=vs))
+
+    sketch_ref = _worker_built_ref(
+        sketches.map_batches(keep_hot_docs, batch_format="pyarrow"),
+        lambda tables: {
+            d: sh
+            for t in tables
+            for d, sh in zip(t["doc_id"].to_pylist(), t["sh"].to_pylist())
+        },
+    )
+
+    def bucket_pairs(g: pd.DataFrame, _ref=sketch_ref) -> pa.Table:
         rows = []
         if len(g) > 1:
-            docs = sorted(zip(g["doc_id"], g["sh"]), key=lambda x: x[0])
-            shingles = {d: set(sh.split(SHINGLE_SEP)) for d, sh in docs}
-            for (da, _), (db, _) in combinations(docs, 2):
+            sk = _side_object(_ref)
+            ids = sorted(g["doc_id"])
+            shingles = {
+                d: set(sk[d].split(SHINGLE_SEP)) for d in ids
+            }
+            for da, db in combinations(ids, 2):
                 if H.jaccard(shingles[da], shingles[db]) >= threshold:
                     rows.append((da, db))
         return arrow_block(
@@ -185,7 +303,7 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
             schema=_PAIR_SCHEMA,
         )
 
-    cand = pre_shuffle(verif_in).groupby("band_key").map_groups(
+    cand = hot.groupby("band_key").map_groups(
         bucket_pairs, batch_format="pandas"
     )
     # global pair dedup (a pair may surface from several bands)
