@@ -195,26 +195,27 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     """LSH candidate generation + exact-Jaccard verification.
 
     Dataflow (every exchange carries bounded rows):
-      1. sketch side table (doc_id, shingles) — one pass over text;
+      1. sketch side table (doc_id, shingles, band keys) — one pass
+         over text;
       2. slim band rows (band_key, doc_id) from the sketches;
       3. hot buckets via partial counts + a worker-built broadcast
          key-set filter (no driver rows, no join operator);
       4. hot-DOC sketches broadcast as a worker-built lookup dict;
          exact Jaccard verified inside each bucket group over the
          slim hot rows;
-      5. global pair dedup (a pair can collide in several bands).
+      5. pair dedup is MAP-SIDE: each pair is emitted only from its
+         minimal shared bucket (both docs' band-key sets ride the
+         broadcast dict), so no global pair shuffle is needed.
     Returns (doc_a, doc_b) with doc_a < doc_b.  Small-side assumption
     (documented in :func:`_hot_bucket_rows`): hot keys / hot-doc
     sketches are O(duplicate clusters) and fit one worker's heap.
     """
-    from ray.data.aggregate import Count
-
     # ONE fused pass over the text emits both outputs as a tagged
     # union (band rows kind='b' with null sh; sketch rows kind='s'
-    # with null band_key) — shingles are computed once, and a single
-    # materialize feeds all downstream consumers via cheap map-side
-    # filters.  Task-based: the hash family is tiny and ships with
-    # the task.
+    # with null band_key and the doc's full band-key list) — shingles
+    # are computed once, and a single materialize feeds all downstream
+    # consumers via cheap map-side filters.  Task-based: the hash
+    # family is tiny and ships with the task.
     sketcher, bander = ShingleSketcher(k=k), MinHashBander()
 
     def fused(batch: pd.DataFrame) -> pa.Table:
@@ -228,6 +229,12 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
             )
         )
         n_s, n_b = sk_t.num_rows, bd_t.num_rows
+        # per-doc band-key lists, in bander emission order
+        per_doc: dict = {d: [] for d in sk_t["doc_id"].to_pylist()}
+        for key, d in zip(
+            bd_t["band_key"].to_pylist(), bd_t["doc_id"].to_pylist()
+        ):
+            per_doc[d].append(key)
         return pa.table(
             {
                 "kind": pa.array(["s"] * n_s + ["b"] * n_b),
@@ -243,12 +250,21 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
                     [pa.nulls(n_s, pa.int64()),
                      bd_t["band_key"].combine_chunks()]
                 ),
+                "bands": pa.concat_arrays(
+                    [
+                        pa.array(
+                            [per_doc[d] for d in sk_t["doc_id"].to_pylist()],
+                            type=pa.list_(pa.int64()),
+                        ),
+                        pa.nulls(n_b, pa.list_(pa.int64())),
+                    ]
+                ),
             }
         )
 
     tagged = docs_ds.map_batches(fused, batch_format="pandas").materialize()
     sketches = tagged.filter(expr="kind == 's'").select_columns(
-        ["doc_id", "sh"]
+        ["doc_id", "sh", "bands"]
     )
     bands = tagged.filter(expr="kind == 'b'").select_columns(
         ["band_key", "doc_id"]
@@ -281,9 +297,13 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     sketch_ref = _worker_built_ref(
         sketches.map_batches(keep_hot_docs, batch_format="pyarrow"),
         lambda tables: {
-            d: sh
+            d: (sh, frozenset(bl))
             for t in tables
-            for d, sh in zip(t["doc_id"].to_pylist(), t["sh"].to_pylist())
+            for d, sh, bl in zip(
+                t["doc_id"].to_pylist(),
+                t["sh"].to_pylist(),
+                t["bands"].to_pylist(),
+            )
         },
     )
 
@@ -291,11 +311,17 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
         rows = []
         if len(g) > 1:
             sk = _side_object(_ref)
-            ids = sorted(g["doc_id"])
+            this_key = int(g["band_key"].iloc[0])
+            ids = sorted(set(g["doc_id"]))
             shingles = {
-                d: set(sk[d].split(SHINGLE_SEP)) for d in ids
+                d: set(sk[d][0].split(SHINGLE_SEP)) for d in ids
             }
             for da, db in combinations(ids, 2):
+                # map-side pair dedup: a colliding pair appears in
+                # every bucket the two docs share; only the minimal
+                # shared band key emits it, so no global pair shuffle
+                if min(sk[da][1] & sk[db][1]) != this_key:
+                    continue
                 if H.jaccard(shingles[da], shingles[db]) >= threshold:
                     rows.append((da, db))
         return arrow_block(
@@ -303,13 +329,9 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
             schema=_PAIR_SCHEMA,
         )
 
-    cand = hot.groupby("band_key").map_groups(
+    return hot.groupby("band_key").map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # global pair dedup (a pair may surface from several bands)
-    return pre_shuffle(cand).groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="_nb")
-    ).drop_columns(["_nb"])
 
 
 # ---------------------------------------------------------------------------
