@@ -90,6 +90,30 @@ def _flagship_resumable(cfg: Dict[str, Any]):
     }
 
 
+@register("pipeline", "fiveseed")
+def _fiveseed(cfg: Dict[str, Any]):
+    """Five-seed repeated evaluation of the scored-triples pipeline
+    (reference rex/templates/five_runs.py) — reports per-seed metric
+    plus mean/std."""
+    from rex_ray.pipelines.repeated import (
+        REF_SEEDS,
+        five_seed_scored_triples,
+    )
+
+    seeds = cfg.get("seeds") or REF_SEEDS
+    if isinstance(seeds, str):
+        seeds = [int(s) for s in seeds.split(",")]
+    out = five_seed_scored_triples(cfg["sf_dir"], seeds=seeds)
+    rows = sum(r["rows"] for r in out["runs"].values())
+    return {
+        "rows": rows,
+        "seeds": out["seeds"],
+        "metrics": out["metrics"],
+        "mean": out["mean"],
+        "std": out["std"],
+    }
+
+
 def _register_query_pipelines() -> None:
     from rex_ray.pipelines.queries import queries
 
