@@ -19,8 +19,13 @@ import pyarrow as pa
 def arrow_block(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
     """pandas -> Arrow block (no index).  Pass ``schema`` when the
     frame may be empty with object dtypes (which would otherwise infer
-    ``null`` columns and produce schema-unstable blocks)."""
-    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    ``null`` columns and produce schema-unstable blocks).
+
+    The pandas metadata blob is stripped: schemas carrying metadata are
+    unhashable in pyarrow 16, which defeats Ray Data's schema
+    deduplication (it warns and keeps one schema copy per block)."""
+    t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    return t.replace_schema_metadata(None)
 
 
 def fixed_list_column(mat) -> pa.Array:
