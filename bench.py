@@ -89,9 +89,10 @@ def run_bench() -> dict:
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
 
-    # Each query runs twice: the first (cold) pays one-off worker/actor
-    # spin-up, the second is the steady-state throughput this
-    # fixed-cluster engine would sustain.  Both are reported.
+    # Each query runs three times: the first (cold) pays one-off
+    # worker/actor spin-up; steady state is the BEST of the next two —
+    # single-sample warm numbers proved noisy on a shared host (kernel
+    # compaction storms inflate a run 2x with no code change).
     per_query = {}
     per_query_cold = {}
     n_triples = 0
@@ -99,9 +100,12 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         rows = _consume(qs[name](SF_DIR))
         per_query_cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        rows = _consume(qs[name](SF_DIR))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = _consume(qs[name](SF_DIR))
+            warm.append(time.perf_counter() - t0)
+        per_query[name] = round(min(warm), 3)
         if name == HEADLINE:
             n_triples = rows
 
