@@ -25,6 +25,7 @@ ANN_NUM_QUERIES = 10
 ANN_K = 5
 EMB_DUP_THRESHOLD = 0.45
 MINHASH_JACCARD = 0.9
+NGRAM_JACCARD = 0.8
 
 
 def _cents(values) -> np.ndarray:
@@ -312,6 +313,18 @@ def q_dd_minhash_pairs(sf_dir: str):
     )
 
 
+def q_dd_jaccard_pairs(sf_dir: str):
+    """Exact prefix-filtered n-gram Jaccard — recall 1 by theorem, so
+    this oracle-checks against brute-force SQL at a LOOSER threshold
+    than MinHash (where LSH recall is probabilistic)."""
+    from rex_ray.stages.dedup import ngram_jaccard_dup_pairs
+
+    return ngram_jaccard_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=NGRAM_JACCARD,
+    )
+
+
 def q_dd_simhash(sf_dir: str):
     from rex_ray.stages.dedup import simhash_table
 
@@ -573,6 +586,14 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= {MINHASH_JACCARD}
 """
 
+EXT_SQL["dd_jaccard_pairs"] = f"""
+WITH sh AS ({_SHINGLES})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {NGRAM_JACCARD}
+"""
+
 EXT_SQL["dd_embedding_pairs"] = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -629,6 +650,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_word_freq": q_ta_word_freq,
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
+    "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_simhash": q_dd_simhash,            # rows-only (no SQL form)
     "dd_embedding_pairs": q_dd_embedding_pairs,
     "ann_topk": q_ann_topk,

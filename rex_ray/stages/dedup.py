@@ -335,6 +335,143 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _prefix_len(n: int, threshold: float) -> int:
+    """SSJoin prefix bound: a pair with Jaccard >= t has shingle
+    overlap >= ceil(t*|A|), so at most |A| - ceil(t*|A|) elements of A
+    miss B; the first |A| - ceil(t*|A|) + 1 elements in ANY global
+    canonical order must therefore contain a shared element.  The tiny
+    epsilon keeps float error from rounding an exact integer product
+    up (which would SHORTEN the prefix and break recall)."""
+    import math
+
+    alpha = int(math.ceil(threshold * n - 1e-12))
+    return max(1, min(n, n - alpha + 1))
+
+
+def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 3):
+    """EXACT n-gram Jaccard near-dup via prefix filtering (the
+    SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08): emits EVERY pair with Jaccard(shingles_a, shingles_b) >=
+    threshold.  Unlike MinHash+LSH there is no probabilistic recall
+    loss, yet candidate generation stays sub-quadratic: docs are
+    bucketed only on their PREFIX shingles (canonical order = stable
+    64-bit shingle hash), and the prefix bound guarantees every
+    qualifying pair shares a prefix bucket.
+
+    Dataflow mirrors :func:`minhash_dup_pairs` (every exchange
+    bounded): one fused text pass emits a tagged union of sketch rows
+    (doc_id, sh, prefix-hash list) and SLIM prefix rows (bucket_key,
+    doc_id — 16 bytes); hot buckets via partial counts + worker-built
+    broadcast filter; exact Jaccard verified in-bucket against a
+    broadcast hot-doc sketch dict; pair dedup is map-side (only the
+    minimal shared prefix bucket emits a pair).  Scale notes: prefix
+    rows are ~(1-t)*|shingles| per doc; at scale, replace hash order
+    with a corpus-frequency order (rarest-first) to shrink hot
+    buckets further — same theorem, smaller buckets.
+    """
+    sketcher = ShingleSketcher(k=k)
+
+    def fused(batch: pd.DataFrame) -> pa.Table:
+        sk_t = sketcher(batch)
+        doc_ids = sk_t["doc_id"].to_pylist()
+        shs = sk_t["sh"].to_pylist()
+        pref_lists: List[List[int]] = []
+        rows_key: List[int] = []
+        rows_doc: List[int] = []
+        for doc_id, sh in zip(doc_ids, shs):
+            sset = sh.split(SHINGLE_SEP)
+            hv = np.sort(
+                H._stable_hash64(sset).view(np.int64)
+            )  # canonical global order = hash64 value
+            pref = hv[: _prefix_len(len(sset), threshold)]
+            pref_lists.append([int(x) for x in pref])
+            rows_key.extend(int(x) for x in pref)
+            rows_doc.extend([doc_id] * len(pref))
+        n_s, n_p = len(doc_ids), len(rows_key)
+        return pa.table(
+            {
+                "kind": pa.array(["s"] * n_s + ["p"] * n_p),
+                "doc_id": pa.array(doc_ids + rows_doc, type=pa.int64()),
+                "sh": pa.array(shs + [None] * n_p, type=pa.string()),
+                "bucket_key": pa.array(
+                    [None] * n_s + rows_key, type=pa.int64()
+                ),
+                "pref": pa.array(
+                    pref_lists + [None] * n_p, type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    tagged = docs_ds.map_batches(fused, batch_format="pandas").materialize()
+    sketches = tagged.filter(expr="kind == 's'").select_columns(
+        ["doc_id", "sh", "pref"]
+    )
+    prefix_rows = tagged.filter(expr="kind == 'p'").select_columns(
+        ["bucket_key", "doc_id"]
+    )
+
+    hot = pre_shuffle(_hot_bucket_rows(prefix_rows, "bucket_key"))
+
+    import pyarrow.compute as pc
+
+    doc_ref = _worker_built_ref(
+        hot,
+        lambda tables: set().union(
+            *(t["doc_id"].to_pylist() for t in tables)
+        )
+        if tables
+        else set(),
+    )
+
+    def keep_hot_docs(t: pa.Table, _ref=doc_ref) -> pa.Table:
+        docs = _side_object(_ref)
+        if not docs:
+            return t.schema.empty_table()
+        vs = pa.array(sorted(docs), type=pa.int64())
+        return t.filter(pc.is_in(t["doc_id"], value_set=vs))
+
+    sketch_ref = _worker_built_ref(
+        sketches.map_batches(keep_hot_docs, batch_format="pyarrow"),
+        lambda tables: {
+            d: (sh, frozenset(pl))
+            for t in tables
+            for d, sh, pl in zip(
+                t["doc_id"].to_pylist(),
+                t["sh"].to_pylist(),
+                t["pref"].to_pylist(),
+            )
+        },
+    )
+
+    def bucket_pairs(g: pd.DataFrame, _ref=sketch_ref) -> pa.Table:
+        rows = []
+        if len(g) > 1:
+            sk = _side_object(_ref)
+            this_key = int(g["bucket_key"].iloc[0])
+            ids = sorted(set(g["doc_id"]))
+            shingles = {
+                d: set(sk[d][0].split(SHINGLE_SEP)) for d in ids
+            }
+            for da, db in combinations(ids, 2):
+                shared = sk[da][1] & sk[db][1]
+                if min(shared) != this_key:  # map-side pair dedup
+                    continue
+                if H.jaccard(shingles[da], shingles[db]) >= threshold:
+                    rows.append((da, db))
+        return arrow_block(
+            pd.DataFrame(rows, columns=["doc_a", "doc_b"]),
+            schema=_PAIR_SCHEMA,
+        )
+
+    return hot.groupby("bucket_key").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

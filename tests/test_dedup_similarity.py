@@ -180,3 +180,41 @@ def test_minhash_band_rows_are_slim(docs_ds):
     assert bands.schema().names == ["band_key", "doc_id"]
     bytes_per_row = bands.size_bytes() / bands.count()
     assert bytes_per_row <= 32  # two int64s + block overhead
+
+
+def test_ngram_jaccard_pairs_match_bruteforce(docs_ds):
+    """Prefix-filtered exact Jaccard == brute-force all-pairs Jaccard
+    (recall 1 by the SSJoin prefix theorem — no LSH probability)."""
+    from rex_ray.functions import hashing as H
+    from rex_ray.functions import text as T
+    from rex_ray.stages.dedup import ngram_jaccard_dup_pairs
+
+    threshold = 0.8
+    pairs = ngram_jaccard_dup_pairs(docs_ds, threshold=threshold).to_pandas()
+    df = docs_ds.to_pandas()
+    norm = T.normalize_dedup_text(df["text"])
+    sh = {
+        d: H.token_shingles(t.split(" "), 3)
+        for d, t in zip(df["doc_id"], norm)
+    }
+    ids = sorted(sh)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if H.jaccard(sh[a], sh[b]) >= threshold
+    }
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == expected
+    assert len(got) > 0  # planted dups exist at sf0.001
+
+
+def test_prefix_len_bound():
+    """p = n - ceil(t*n) + 1, robust to float error on exact products."""
+    from rex_ray.stages.dedup import _prefix_len
+
+    assert _prefix_len(5, 0.8) == 2   # ceil(4.0)=4
+    assert _prefix_len(10, 0.8) == 3  # ceil(8.0)=8
+    assert _prefix_len(7, 0.9) == 1   # ceil(6.3)=7
+    assert _prefix_len(1, 0.8) == 1
+    assert _prefix_len(3, 0.1) == 3   # clamped to n? n-1+1=3
