@@ -101,17 +101,31 @@ class MinHashBander:
         self.mh = H.MinHasher(num_perm=num_perm)
         self.num_bands = num_bands
 
+    def band_key_matrix(self, shingle_lists) -> np.ndarray:
+        """(n_docs, num_bands) int64 folded band keys — fully
+        vectorized (batch signatures + band hashes + key fold)."""
+        sigs = self.mh.signatures(shingle_lists)
+        bh = self.mh.band_matrix(sigs, self.num_bands)
+        gold = np.arange(self.num_bands, dtype=np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        return (
+            (bh ^ gold[None, :]) & np.uint64((1 << 63) - 1)
+        ).astype(np.int64)
+
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        rows: List[tuple] = []
-        for doc_id, sh in zip(batch["doc_id"], batch["sh"]):
-            sig = self.mh.signature(set(sh.split(SHINGLE_SEP)))
-            for band_id, band_hash in self.mh.bands(sig, self.num_bands):
-                key = (band_hash ^ (band_id * 0x9E3779B97F4A7C15)) & (
-                    (1 << 63) - 1
-                )
-                rows.append((key, doc_id))
+        keys = self.band_key_matrix(
+            [sh.split(SHINGLE_SEP) for sh in batch["sh"]]
+        )
         return arrow_block(
-            pd.DataFrame(rows, columns=["band_key", "doc_id"]),
+            pd.DataFrame(
+                {
+                    "band_key": keys.reshape(-1),
+                    "doc_id": np.repeat(
+                        batch["doc_id"].to_numpy(), self.num_bands
+                    ),
+                }
+            ),
             schema=pa.schema(
                 [("band_key", pa.int64()), ("doc_id", pa.int64())]
             ),
@@ -219,42 +233,36 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     sketcher, bander = ShingleSketcher(k=k), MinHashBander()
 
     def fused(batch: pd.DataFrame) -> pa.Table:
-        sk_t = sketcher(batch)
-        bd_t = bander(
-            pd.DataFrame(
-                {
-                    "doc_id": sk_t["doc_id"].to_pylist(),
-                    "sh": sk_t["sh"].to_pylist(),
-                }
-            )
-        )
-        n_s, n_b = sk_t.num_rows, bd_t.num_rows
-        # per-doc band-key lists, in bander emission order
-        per_doc: dict = {d: [] for d in sk_t["doc_id"].to_pylist()}
-        for key, d in zip(
-            bd_t["band_key"].to_pylist(), bd_t["doc_id"].to_pylist()
-        ):
-            per_doc[d].append(key)
+        norm = T.normalize_dedup_text(batch["text"])
+        shingle_lists = [
+            sorted(H.token_shingles(t.split(" "), sketcher.k)) for t in norm
+        ]
+        doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keys = bander.band_key_matrix(shingle_lists)  # (n, B) int64
+        n_s, B = len(doc_ids), bander.num_bands
+        n_b = n_s * B
         return pa.table(
             {
                 "kind": pa.array(["s"] * n_s + ["b"] * n_b),
-                "doc_id": pa.concat_arrays(
-                    [sk_t["doc_id"].combine_chunks(),
-                     bd_t["doc_id"].combine_chunks()]
+                "doc_id": pa.array(
+                    np.concatenate([doc_ids, np.repeat(doc_ids, B)]),
+                    type=pa.int64(),
                 ),
-                "sh": pa.concat_arrays(
-                    [sk_t["sh"].combine_chunks(),
-                     pa.nulls(n_b, pa.string())]
+                "sh": pa.array(
+                    [SHINGLE_SEP.join(s) for s in shingle_lists]
+                    + [None] * n_b,
+                    type=pa.string(),
                 ),
                 "band_key": pa.concat_arrays(
-                    [pa.nulls(n_s, pa.int64()),
-                     bd_t["band_key"].combine_chunks()]
+                    [
+                        pa.nulls(n_s, pa.int64()),
+                        pa.array(keys.reshape(-1), type=pa.int64()),
+                    ]
                 ),
                 "bands": pa.concat_arrays(
                     [
                         pa.array(
-                            [per_doc[d] for d in sk_t["doc_id"].to_pylist()],
-                            type=pa.list_(pa.int64()),
+                            keys.tolist(), type=pa.list_(pa.int64())
                         ),
                         pa.nulls(n_b, pa.list_(pa.int64())),
                     ]
@@ -480,12 +488,11 @@ class SimHasher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         norm = T.normalize_dedup_text(batch["text"])
+        hv = H.simhash64_batch([t.split(" ") for t in norm])
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": [
-                    f"{H.simhash64(t.split(' ')):016x}" for t in norm
-                ],
+                "simhash": [f"{int(h):016x}" for h in hv],
             }
         )
 
@@ -502,15 +509,22 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
 
     def band_rows(batch: pd.DataFrame):
         norm = T.normalize_dedup_text(batch["text"])
-        rows = []
-        for doc_id, t in zip(batch["doc_id"], norm):
-            sh = H.simhash64(t.split(" "))
-            for c in range(4):
-                # exact composite key: chunk_id in the high bits
-                key = (c << 16) | ((sh >> (16 * c)) & 0xFFFF)
-                rows.append((key, doc_id, sh))
+        sh = H.simhash64_batch([t.split(" ") for t in norm])  # (n,) uint64
+        doc = np.asarray(batch["doc_id"], dtype=np.int64)
+        c = np.arange(4, dtype=np.uint64)
+        # exact composite key: chunk_id in the high bits
+        keys = (
+            (c[None, :] << np.uint64(16))
+            | ((sh[:, None] >> (np.uint64(16) * c[None, :])) & np.uint64(0xFFFF))
+        ).astype(np.int64)
         return arrow_block(
-            pd.DataFrame(rows, columns=["band_key", "doc_id", "simhash"])
+            pd.DataFrame(
+                {
+                    "band_key": keys.reshape(-1),
+                    "doc_id": np.repeat(doc, 4),
+                    "simhash": np.repeat(sh, 4),
+                }
+            )
         )
 
     bands = docs_ds.map_batches(band_rows, batch_format="pandas").materialize()

@@ -251,3 +251,36 @@ def test_padding():
     m_ids, m_mask = pad_batch([[1, 2, 3], [4]], 3)
     assert m_ids.tolist() == [[1, 2, 3], [4, 0, 0]]
     assert m_mask.tolist() == [[1, 1, 1], [1, 0, 0]]
+
+
+def test_vectorized_hash_paths_bit_identical():
+    """Batch FNV / MinHash / SimHash kernels must equal their scalar
+    forms bit-for-bit (bucketing consistency across workers depends on
+    it)."""
+    import numpy as np
+
+    from rex_ray.functions import hashing as H
+
+    def fnv1a64(s):
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    vals = ["", "a", "hello world", "x" * 300, "ünïcode"]
+    assert [int(x) for x in H._stable_hash64_batch(vals)] == [
+        fnv1a64(v) for v in vals
+    ]
+
+    rng = np.random.RandomState(0)
+    docs = [
+        sorted(H.token_shingles([f"w{rng.randint(99)}" for _ in range(30)], 3))
+        for _ in range(20)
+    ] + [[]]
+    mh = H.MinHasher()
+    sigs = mh.signatures(docs)
+    bm = mh.band_matrix(sigs, 16)
+    for i, d in enumerate(docs):
+        assert (sigs[i] == mh.signature(set(d))).all()
+        assert [int(x) for x in bm[i]] == [bh for _, bh in mh.bands(sigs[i], 16)]
+        assert int(H.simhash64_batch([d])[0]) == H.simhash64(d)
