@@ -194,3 +194,39 @@ def simhash64_batch(token_lists: List[Sequence[str]]) -> np.ndarray:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def md5_gram_hash(grams: List[str]) -> np.ndarray:
+    """int64 hashes = top 32 bits of md5 per k-gram string.  md5 is the
+    one hash both this engine and the DuckDB oracle can compute
+    identically, which makes winnowing fingerprints oracle-checkable."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+            for g in grams
+        ),
+        dtype=np.int64,
+        count=len(grams),
+    )
+
+
+def winnow(hv: np.ndarray, w: int):
+    """Winnowing (Schleimer et al., SIGMOD'03 — the MOSS fingerprint
+    selector): from every window of ``w`` consecutive k-gram hashes
+    keep the minimum, rightmost on ties.  Returns (positions, hashes)
+    of the selected fingerprints, unique and sorted by 0-based
+    position.  Guarantees: any shared substring of length
+    >= w + k - 1 tokens yields at least one shared fingerprint."""
+    m = len(hv)
+    if m < w:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    W = sliding_window_view(hv, w)  # (m-w+1, w)
+    mn = W.min(axis=1)
+    # rightmost index of the min within each window
+    idx = (w - 1) - np.argmax(W[:, ::-1] == mn[:, None], axis=1)
+    pos = np.unique(np.arange(m - w + 1) + idx)
+    return pos.astype(np.int64), hv[pos].astype(np.int64)

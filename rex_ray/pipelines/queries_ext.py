@@ -262,6 +262,28 @@ def q_events_sliding(sf_dir: str):
 # text analysis
 # --------------------------------------------------------------------------
 
+def q_ta_fingerprints(sf_dir: str):
+    from rex_ray.stages.textstats import document_fingerprints
+
+    return document_fingerprints(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=3,
+        w=4,
+    )
+
+
+def q_events_asof(sf_dir: str):
+    from rex_ray.stages.windows import asof_join_events
+
+    return asof_join_events(
+        _read(
+            sf_dir,
+            "events",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+    )
+
+
 def q_ta_doc_stats(sf_dir: str):
     from rex_ray.stages.textstats import DocStats
 
@@ -586,6 +608,53 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= {MINHASH_JACCARD}
 """
 
+EXT_SQL["ta_fingerprints"] = """
+WITH grams AS (
+    SELECT doc_id, i + 1 AS pos,
+           ('0x' || substr(md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]),
+                           1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         unnest(range(len(ts) - 2)) AS u(i)
+    WHERE len(ts) >= 3
+),
+wins AS (
+    SELECT doc_id, pos AS wstart, mn FROM (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+               count(*) OVER (PARTITION BY doc_id) AS m
+        FROM grams)
+    WHERE pos <= m - 3
+),
+picks AS (
+    SELECT w.doc_id, w.wstart, max(g.pos) AS pos
+    FROM wins w JOIN grams g
+      ON g.doc_id = w.doc_id
+     AND g.pos BETWEEN w.wstart AND w.wstart + 3
+     AND g.h = w.mn
+    GROUP BY w.doc_id, w.wstart
+)
+SELECT DISTINCT p.doc_id, p.pos, g.h
+FROM picks p JOIN grams g ON g.doc_id = p.doc_id AND g.pos = p.pos
+"""
+
+EXT_SQL["events_asof"] = """
+WITH c AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+),
+v AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type = 'view'
+    QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                               ORDER BY event_id DESC) = 1
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       v.ts_us AS asof_ts_us, v.value AS asof_value
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+"""
+
 EXT_SQL["dd_jaccard_pairs"] = f"""
 WITH sh AS ({_SHINGLES})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -644,6 +713,8 @@ EXT_QUERIES: Dict[str, Callable] = {
     "events_type_stats": q_events_type_stats,
     "events_sessions": q_events_sessions,
     "events_sliding": q_events_sliding,
+    "events_asof": q_events_asof,
+    "ta_fingerprints": q_ta_fingerprints,
     "ta_doc_stats": q_ta_doc_stats,
     "ta_langid_confusion": q_ta_langid_confusion,
     "ta_quality": q_ta_quality,

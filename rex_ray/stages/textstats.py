@@ -7,6 +7,7 @@ order as the SQL oracle, so float outputs are bit-identical.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from rex_ray.functions import text as T
@@ -115,3 +116,50 @@ def langid_confusion(docs_ds):
     return partial.groupby(["lang", "pred_lang"]).aggregate(
         Sum("n_docs", alias_name="n_docs")
     )
+
+
+def document_fingerprints(docs_ds, k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    per doc, hash every k-token gram (md5 top-32 — the one hash the
+    DuckDB oracle can reproduce) and keep the winnowed minima.  Output
+    (doc_id, pos 1-based gram position, h) — the industry-standard
+    compact near-dup / plagiarism index: any shared run of
+    >= w + k - 1 tokens between two docs shares a fingerprint.
+
+    Fully map-side (one pass, no shuffle): fingerprinting is
+    per-document, so the operator streams at input bandwidth; a
+    downstream ``groupby(h)`` turns the table into a shared-substring
+    candidate index (same hot-bucket discipline as LSH)."""
+    import pyarrow as pa
+
+    from rex_ray.functions import hashing as H
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("h", pa.int64())]
+    )
+
+    def per_batch(batch: pd.DataFrame) -> pa.Table:
+        ids, poss, hss = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            ts = text.split(" ")
+            if len(ts) < k:
+                continue
+            grams = [
+                " ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)
+            ]
+            pos, hs = H.winnow(H.md5_gram_hash(grams), w)
+            ids.append(np.full(len(pos), doc_id, dtype=np.int64))
+            poss.append(pos + 1)  # 1-based, matching the SQL oracle
+            hss.append(hs)
+        if not ids:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": np.concatenate(ids),
+                "pos": np.concatenate(poss),
+                "h": np.concatenate(hss),
+            },
+            schema=out_schema,
+        )
+
+    return docs_ds.map_batches(per_batch, batch_format="pandas")

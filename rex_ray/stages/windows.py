@@ -69,6 +69,97 @@ def sessionize(events_ds, gap_us: int = DEFAULT_GAP_US):
     )
 
 
+def asof_join_events(
+    events_ds,
+    left_type: str = "click",
+    right_type: str = "view",
+):
+    """Distributed AS-OF join — a custom operator Ray Data lacks: each
+    left event picks the latest right event of the same ``user_id``
+    with ``right.ts <= left.ts`` (DuckDB ``ASOF LEFT JOIN``
+    semantics; unmatched left rows keep nulls).
+
+    Dataflow: one pass projects BOTH sides out of the same stream into
+    a tagged slim union (user_id, ts_us, side, event_id, val — ~33
+    bytes/row); one groupby(user_id) shuffle co-locates a user's rows;
+    the per-group step sorts the right side once and answers every
+    left row with a vectorized ``np.searchsorted``.  Partitioning
+    assumption (custom-operator rule): one user's rows fit a group —
+    for a pathological hot user, pre-split by coarse time bucket and
+    stitch via a boundary pass, as with sessions.  Right rows that tie
+    on ts are deduped to the max event_id, making the join
+    deterministic on both engines.
+    """
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ty = t["event_type"]
+        keep = pc.or_(
+            pc.equal(ty, left_type), pc.equal(ty, right_type)
+        )
+        t = t.filter(keep)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        side = pc.cast(pc.equal(t["event_type"], right_type), pa.int8())
+        return pa.Table.from_arrays(
+            [
+                t["user_id"].combine_chunks(),
+                us.combine_chunks(),
+                side.combine_chunks(),
+                t["event_id"].combine_chunks(),
+                t["value"].combine_chunks(),
+            ],
+            names=["user_id", "ts_us", "side", "event_id", "val"],
+        )
+
+    slim = pre_shuffle(events_ds.map_batches(project, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("asof_ts_us", pa.int64()),
+            ("asof_value", pa.float64()),
+        ]
+    )
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0]
+        if len(left) == 0:
+            return out_schema.empty_table()
+        right = g[g["side"] == 1].sort_values(["ts_us", "event_id"])
+        right = right.drop_duplicates("ts_us", keep="last")
+        lt = left["ts_us"].to_numpy()
+        if len(right) == 0:
+            idx = np.full(len(left), -1)
+        else:
+            rts = right["ts_us"].to_numpy()
+            idx = np.searchsorted(rts, lt, side="right") - 1
+        hit = idx >= 0
+        if len(right):
+            asof_ts = right["ts_us"].to_numpy()[np.maximum(idx, 0)]
+            asof_val = right["val"].to_numpy()[np.maximum(idx, 0)]
+        else:
+            asof_ts = np.zeros(len(left), dtype=np.int64)
+            asof_val = np.zeros(len(left))
+        return pa.table(
+            {
+                "event_id": pa.array(left["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(left["user_id"].to_numpy(), pa.int64()),
+                "ts_us": pa.array(lt, pa.int64()),
+                "asof_ts_us": pa.array(asof_ts, pa.int64(), mask=~hit),
+                "asof_value": pa.array(
+                    asof_val.astype(np.float64), pa.float64(), mask=~hit
+                ),
+            }
+        )
+
+    return slim.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
 def sliding_window_counts(events_ds, width_us: int, slide_us: int):
     """Sliding windows over the whole stream: per (window_start) event
     count.  Each event lands in width/slide windows — emitted from a

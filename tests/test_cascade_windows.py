@@ -72,3 +72,76 @@ def test_sliding_windows_cover_each_event_k_times():
     # event@0.5h -> windows starting -1h, 0h; event@1.25h -> 0h, 1h
     assert list(got["window_start_us"]) == [-h, 0, h]
     assert list(got["n_events"]) == [1, 2, 1]
+
+
+def test_winnow_kernel_bruteforce():
+    """Winnowing == brute-force window minima (rightmost tie-break)."""
+    import numpy as np
+
+    from rex_ray.functions.hashing import winnow
+
+    rng = np.random.RandomState(3)
+    for trial in range(20):
+        m = rng.randint(0, 30)
+        hv = rng.randint(0, 8, size=m).astype(np.int64)  # small range → ties
+        w = rng.randint(2, 6)
+        pos, hs = winnow(hv, w)
+        expected = set()
+        for s in range(max(0, m - w + 1)):
+            win = hv[s : s + w]
+            mn = win.min()
+            p = s + max(np.nonzero(win == mn)[0])
+            expected.add((int(p), int(mn)))
+        assert set(zip(pos.tolist(), hs.tolist())) == expected
+        assert (np.diff(pos) > 0).all() if len(pos) > 1 else True
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.windows import asof_join_events
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    got = (
+        asof_join_events(ds)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts_us"] = ev["ts"].astype("int64")
+    left = ev[ev["event_type"] == "click"].sort_values("ts_us")
+    right = (
+        ev[ev["event_type"] == "view"]
+        .sort_values(["ts_us", "event_id"])
+        .drop_duplicates(["user_id", "ts_us"], keep="last")
+        .sort_values("ts_us")
+    )
+    exp = pd.merge_asof(
+        left[["event_id", "user_id", "ts_us"]],
+        right[["user_id", "ts_us", "value"]].rename(
+            columns={"ts_us": "asof_ts_us", "value": "asof_value"}
+        ),
+        left_on="ts_us",
+        right_on="asof_ts_us",
+        by="user_id",
+        direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["event_id"] == exp["event_id"]).all()
+    pd.testing.assert_series_equal(
+        got["asof_ts_us"].astype("float64"),
+        exp["asof_ts_us"].astype("float64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        got["asof_value"].astype("float64"),
+        exp["asof_value"].astype("float64"),
+        check_names=False,
+    )
