@@ -188,9 +188,13 @@ def _hot_bucket_rows(bands_ds, key_col: str):
     key_ref = _worker_built_ref(
         hot_keys,
         lambda tables: set().union(
-            *(t[key_col].to_pylist() for t in tables)
+            *(
+                t[key_col].to_pylist()
+                for t in tables
+                if key_col in t.schema.names
+            )
         )
-        if tables
+        if any(key_col in t.schema.names for t in tables)
         else set(),
     )
     import pyarrow.compute as pc
@@ -289,9 +293,13 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     doc_ref = _worker_built_ref(
         hot,
         lambda tables: set().union(
-            *(t["doc_id"].to_pylist() for t in tables)
+            *(
+                t["doc_id"].to_pylist()
+                for t in tables
+                if "doc_id" in t.schema.names
+            )
         )
-        if tables
+        if any("doc_id" in t.schema.names for t in tables)
         else set(),
     )
 
@@ -307,6 +315,7 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
         lambda tables: {
             d: (sh, frozenset(bl))
             for t in tables
+            if "doc_id" in t.schema.names
             for d, sh, bl in zip(
                 t["doc_id"].to_pylist(),
                 t["sh"].to_pylist(),
@@ -428,9 +437,13 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 3):
     doc_ref = _worker_built_ref(
         hot,
         lambda tables: set().union(
-            *(t["doc_id"].to_pylist() for t in tables)
+            *(
+                t["doc_id"].to_pylist()
+                for t in tables
+                if "doc_id" in t.schema.names
+            )
         )
-        if tables
+        if any("doc_id" in t.schema.names for t in tables)
         else set(),
     )
 
@@ -446,6 +459,7 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 3):
         lambda tables: {
             d: (sh, frozenset(pl))
             for t in tables
+            if "doc_id" in t.schema.names
             for d, sh, pl in zip(
                 t["doc_id"].to_pylist(),
                 t["sh"].to_pylist(),
