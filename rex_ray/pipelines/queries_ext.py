@@ -26,6 +26,7 @@ ANN_K = 5
 EMB_DUP_THRESHOLD = 0.45
 MINHASH_JACCARD = 0.9
 NGRAM_JACCARD = 0.8
+SOURCE_CAP_N = 20
 
 
 def _cents(values) -> np.ndarray:
@@ -281,6 +282,17 @@ def q_events_asof(sf_dir: str):
             "events",
             columns=["event_id", "ts", "user_id", "event_type", "value"],
         )
+    )
+
+
+def q_ta_source_cap(sf_dir: str):
+    from rex_ray.stages.relational import per_key_cap
+
+    return per_key_cap(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        key_col="source",
+        id_col="doc_id",
+        n=SOURCE_CAP_N,
     )
 
 
@@ -638,6 +650,13 @@ SELECT DISTINCT p.doc_id, p.pos, g.h
 FROM picks p JOIN grams g ON g.doc_id = p.doc_id AND g.pos = p.pos
 """
 
+EXT_SQL["ta_source_cap"] = f"""
+SELECT source, doc_id FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {SOURCE_CAP_N}
+"""
+
 EXT_SQL["events_asof"] = """
 WITH c AS (
     SELECT event_id, user_id, epoch_us(ts) AS ts_us
@@ -715,6 +734,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "events_sliding": q_events_sliding,
     "events_asof": q_events_asof,
     "ta_fingerprints": q_ta_fingerprints,
+    "ta_source_cap": q_ta_source_cap,
     "ta_doc_stats": q_ta_doc_stats,
     "ta_langid_confusion": q_ta_langid_confusion,
     "ta_quality": q_ta_quality,

@@ -110,3 +110,39 @@ def partial_groupby_sum(ds, keys, sums: Dict[str, str],
     if counts:
         aggs.append(Sum(counts, alias_name=counts))
     return partial.groupby(keys).aggregate(*aggs)
+
+
+def per_key_cap(ds, key_col: str, id_col: str, n: int):
+    """Deterministic per-key cap — keep the ``n`` rows of each key with
+    the smallest ``md5(id)``: the standard "cap every source/class at N
+    examples" balancing step of a training-data pipeline, made
+    reproducible by hash order instead of an RNG (and oracle-checkable:
+    DuckDB computes the identical md5 rank).
+
+    Top-n is associative, so each batch contributes at most n rows per
+    key to the shuffle (partial top-n combiner), and the final
+    groupby merge handles at most n x num_batches rows per key.  At
+    scale the exchange is O(n x keys), independent of input rows.
+    """
+    import hashlib
+
+    def partial(batch: pd.DataFrame) -> "pa.Table":
+        b = batch[[key_col, id_col]].copy()
+        b["r"] = [
+            hashlib.md5(str(int(i)).encode()).hexdigest()
+            for i in b[id_col]
+        ]
+        b = (
+            b.sort_values([key_col, "r", id_col])
+            .groupby(key_col, sort=False)
+            .head(n)
+        )
+        return arrow_block(b)
+
+    part = pre_shuffle(ds.map_batches(partial, batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> "pa.Table":
+        g = g.sort_values(["r", id_col]).head(n)
+        return arrow_block(g[[key_col, id_col]].reset_index(drop=True))
+
+    return part.groupby(key_col).map_groups(merge, batch_format="pandas")

@@ -149,3 +149,31 @@ def test_embedding_disambiguator_context_decides_and_ties_break(ray_session):
     assert out[3] == "ent:scan#idx"  # tie -> lexicographically smaller
     assert out[4] == "ent:window#time"
     assert set(spec.AMBIG_ALIASES) == {"scan", "window"}
+
+
+def test_per_key_cap_block_structure_invariant(ray_session):
+    """The partial top-n combiner is associative: the cap result must
+    not depend on how the input is blocked."""
+    import ray.data as rd
+
+    from rex_ray.stages.relational import per_key_cap
+
+    sf = "/root/testdata/sf0.001"
+    ds1 = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    a = (
+        per_key_cap(ds1, "source", "doc_id", 7)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    ds2 = rd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source"]
+    ).repartition(37)
+    b = (
+        per_key_cap(ds2, "source", "doc_id", 7)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a.groupby("source").size() <= 7).all()
