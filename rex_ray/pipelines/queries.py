@@ -75,9 +75,20 @@ def _canon_ctes() -> str:
 # --------------------------------------------------------------------------
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # the generator's parquet carries a pandas metadata dict that makes
+    # schemas unhashable, defeating Ray's schema dedup (it warns and
+    # keeps one schema copy per block); reading with an explicit
+    # metadata-free schema avoids it at the source
+    import pyarrow as pa
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _docs(sf_dir: str):
