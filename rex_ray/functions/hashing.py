@@ -165,10 +165,28 @@ def _stable_hash64(values: List[str]) -> np.ndarray:
     return _stable_hash64_batch(values)
 
 
-def simhash64_batch(token_lists: List[Sequence[str]]) -> np.ndarray:
+def md5_hash64_batch(values: List[str]) -> np.ndarray:
+    """uint64 = top 64 bits of md5 per string.  Like
+    :func:`md5_gram_hash`, md5 is the hash a DuckDB oracle can
+    reproduce — SimHash built on it is oracle-checkable end to end."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int(hashlib.md5(v.encode("utf-8")).hexdigest()[:16], 16)
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def simhash64_batch(token_lists: List[Sequence[str]], hasher=None) -> np.ndarray:
     """(n_docs,) uint64 SimHashes in one vectorized pass (all tokens
     hash together; per-doc bit-vote sums are a segmented reduceat).
-    Bit-identical to calling :func:`simhash64` per doc."""
+    Bit-identical to calling :func:`simhash64` per doc.  ``hasher``
+    maps token list -> uint64 array (default FNV-1a; pass
+    :func:`md5_hash64_batch` for the oracle-checkable variant)."""
     n = len(token_lists)
     out = np.zeros(n, dtype=np.uint64)
     if n == 0:
@@ -177,7 +195,7 @@ def simhash64_batch(token_lists: List[Sequence[str]]) -> np.ndarray:
     flat = [tok for t in token_lists for tok in t]
     if not flat:
         return out
-    hv = _stable_hash64_batch(flat)  # (m,)
+    hv = (hasher or _stable_hash64_batch)(flat)  # (m,)
     shifts = np.arange(64, dtype=np.uint64)
     bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
     contrib = 2 * bits - 1  # (m, 64) in {-1, +1}

@@ -674,6 +674,28 @@ FROM c ASOF LEFT JOIN v
   ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
 """
 
+EXT_SQL["dd_simhash"] = f"""
+WITH toks AS (
+    SELECT doc_id, u.tok
+    FROM (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+         unnest(string_split(nt, ' ')) AS u(tok)
+),
+th AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+votes AS (
+    SELECT doc_id, i,
+           sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th, unnest(range(64)) AS u(i)
+    GROUP BY doc_id, i
+)
+SELECT doc_id,
+       lpad(lower(hex(sum(CASE WHEN s > 0 THEN (1::UBIGINT << i)
+                               ELSE 0::UBIGINT END)::UBIGINT)), 16, '0')
+           AS simhash
+FROM votes GROUP BY doc_id
+"""
+
 EXT_SQL["dd_jaccard_pairs"] = f"""
 WITH sh AS ({_SHINGLES})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -742,7 +764,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
-    "dd_simhash": q_dd_simhash,            # rows-only (no SQL form)
+    "dd_simhash": q_dd_simhash,
     "dd_embedding_pairs": q_dd_embedding_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)

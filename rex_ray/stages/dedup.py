@@ -498,11 +498,15 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 3):
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """doc -> 64-bit SimHash (hex) of its normalized tokens."""
+    """doc -> 64-bit SimHash (hex) of its normalized tokens.  Token
+    hash is md5-top-64 so the table is oracle-checkable (DuckDB
+    computes the identical simhash in SQL)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         norm = T.normalize_dedup_text(batch["text"])
-        hv = H.simhash64_batch([t.split(" ") for t in norm])
+        hv = H.simhash64_batch(
+            [t.split(" ") for t in norm], hasher=H.md5_hash64_batch
+        )
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
@@ -523,7 +527,9 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
 
     def band_rows(batch: pd.DataFrame):
         norm = T.normalize_dedup_text(batch["text"])
-        sh = H.simhash64_batch([t.split(" ") for t in norm])  # (n,) uint64
+        sh = H.simhash64_batch(
+            [t.split(" ") for t in norm], hasher=H.md5_hash64_batch
+        )  # (n,) uint64 — same md5 simhash as simhash_table
         doc = np.asarray(batch["doc_id"], dtype=np.int64)
         c = np.arange(4, dtype=np.uint64)
         # exact composite key: chunk_id in the high bits

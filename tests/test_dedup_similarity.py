@@ -150,7 +150,9 @@ def test_simhash_dup_pairs_match_bruteforce_hamming(docs_ds):
     docs = docs_ds.to_pandas()
     norm = T.normalize_dedup_text(docs["text"])
     sh = {
-        d: H.simhash64(t.split(" "))
+        d: int(
+            H.simhash64_batch([t.split(" ")], hasher=H.md5_hash64_batch)[0]
+        )
         for d, t in zip(docs["doc_id"], norm)
     }
     for max_h in (0, 3):
