@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "dd_minhash_pairs",
     "ann_topk",
     "mm_decode_features",
+    # round-2 additions (keep the 12 rows above stable for
+    # round-over-round comparability)
+    "events_asof",                   # distributed AS-OF join
+    "ta_fingerprints",               # winnowing (map-side only)
+    "dd_jaccard_pairs",              # exact prefix-filtered Jaccard
+    "ta_source_cap",                 # associative per-key cap
 ]
 HEADLINE = "kg_triple_store_interleaved"
 
