@@ -174,6 +174,15 @@ def q_kg_triple_store_interleaved(sf_dir: str):
     return kg.run_flagship(sf_dir)
 
 
+def q_kg_entity_degrees(sf_dir: str):
+    """Graph view over the materialized store: per-entity in/out
+    degree."""
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.aggregate import entity_degrees
+
+    return entity_degrees(kg.triple_store_from_text_docs(_docs(sf_dir)))
+
+
 def q_kg_parity_prf(sf_dir: str):
     """Triple-set P/R/F1 of the distributed extractor vs the
     independent straight-line gold implementation (north_rule's
@@ -679,6 +688,27 @@ GROUP BY 1, 2, 3
 _SQL["kg_triple_store"] = _TRIPLE_STORE_SQL
 _SQL["kg_triple_store_interleaved"] = _TRIPLE_STORE_SQL
 
+_SQL["kg_entity_degrees"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+store AS (
+    SELECT cs.canonical_id AS subj_id, tri.pred, co.canonical_id AS obj_id
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    GROUP BY 1, 2, 3
+)
+SELECT entity_id,
+       CAST(sum(CASE WHEN role = 0 THEN 1 ELSE 0 END) AS BIGINT) AS out_deg,
+       CAST(sum(CASE WHEN role = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in_deg
+FROM (
+    SELECT subj_id AS entity_id, 0 AS role FROM store
+    UNION ALL
+    SELECT obj_id, 1 FROM store
+)
+GROUP BY entity_id
+"""
+
 _SQL["kg_parity_prf"] = f"""
 WITH {_kg_ctes()},
 views AS (
@@ -813,6 +843,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_bags": q_kg_bags,
     "kg_canonical_map": q_kg_canonical_map,
     "kg_triple_store": q_kg_triple_store,
+    "kg_entity_degrees": q_kg_entity_degrees,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_parity_prf": q_kg_parity_prf,
     "kg_feature_rows": q_kg_feature_rows,

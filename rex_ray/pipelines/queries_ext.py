@@ -273,6 +273,19 @@ def q_ta_fingerprints(sf_dir: str):
     )
 
 
+def q_events_quantiles(sf_dir: str):
+    """Exact per-type value quantiles via 3-pass histogram drill-down
+    (no sort, no per-group gather)."""
+    from rex_ray.stages.quantiles import grouped_exact_quantiles
+
+    return grouped_exact_quantiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        group_col="event_type",
+        value_col="value",
+        ps=(0.5, 0.9, 0.99),
+    )
+
+
 def q_events_asof(sf_dir: str):
     from rex_ray.stages.windows import asof_join_events
 
@@ -657,6 +670,19 @@ QUALIFY row_number() OVER (
     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {SOURCE_CAP_N}
 """
 
+EXT_SQL["events_quantiles"] = """
+WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn
+      FROM events)
+SELECT r.event_type, p.p, r.value AS q
+FROM r
+JOIN n USING (event_type)
+JOIN (VALUES (0.5), (0.9), (0.99)) AS p(p)
+  ON r.rn = CAST(ceil(p.p * n.n) AS BIGINT)
+"""
+
 EXT_SQL["events_asof"] = """
 WITH c AS (
     SELECT event_id, user_id, epoch_us(ts) AS ts_us
@@ -755,6 +781,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "events_sessions": q_events_sessions,
     "events_sliding": q_events_sliding,
     "events_asof": q_events_asof,
+    "events_quantiles": q_events_quantiles,
     "ta_fingerprints": q_ta_fingerprints,
     "ta_source_cap": q_ta_source_cap,
     "ta_doc_stats": q_ta_doc_stats,

@@ -150,3 +150,36 @@ def score_tier_counts(triples_ds, tiers):
     return pre_shuffle(merged).groupby("tier").map_groups(
         finalize, batch_format="pandas"
     )
+
+
+def entity_degrees(store_ds):
+    """Graph-materialize view over the deduped triple store: per
+    canonical entity, its out-degree (rows as subject) and in-degree
+    (rows as object).  Per-batch Arrow partial counts keep the shuffle
+    at one slim row per (batch, entity)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = pa.concat_arrays(
+            [t["subj_id"].combine_chunks(), t["obj_id"].combine_chunks()]
+        )
+        tagged = pa.table(
+            {
+                "entity_id": ids,
+                "out_deg": pa.array([1] * n + [0] * n, pa.int64()),
+                "in_deg": pa.array([0] * n + [1] * n, pa.int64()),
+            }
+        )
+        return tagged.group_by("entity_id").aggregate(
+            [("out_deg", "sum"), ("in_deg", "sum")]
+        ).rename_columns(["entity_id", "out_deg", "in_deg"])
+
+    partial = pre_shuffle(
+        store_ds.map_batches(explode, batch_format="pyarrow")
+    )
+    return partial.groupby("entity_id").aggregate(
+        Sum("out_deg", alias_name="out_deg"),
+        Sum("in_deg", alias_name="in_deg"),
+    )

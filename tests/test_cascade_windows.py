@@ -145,3 +145,45 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
         exp["asof_value"].astype("float64"),
         check_names=False,
     )
+
+
+def test_grouped_exact_quantiles_vs_numpy(ray_session):
+    """3-pass drill-down == numpy exact order statistic, including a
+    constant-value group (degenerate lo == hi histogram)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.quantiles import grouped_exact_quantiles
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "event_type": (
+                ["a"] * 10000 + ["b"] * 333 + ["const"] * 50
+            ),
+            "value": np.concatenate(
+                [
+                    rng.lognormal(0, 2, 10000),  # skewed
+                    rng.uniform(-5, 5, 333),
+                    np.full(50, 3.14),
+                ]
+            ),
+        }
+    )
+    ps = (0.5, 0.9, 0.99)
+    got = (
+        grouped_exact_quantiles(
+            rd.from_pandas(df).repartition(8), "event_type", "value", ps=ps,
+            n_bins=64,
+        )
+        .to_pandas()
+        .set_index(["event_type", "p"])["q"]
+    )
+    for g, sub in df.groupby("event_type"):
+        vals = np.sort(sub["value"].to_numpy())
+        for p in ps:
+            k = max(1, math.ceil(p * len(vals)))
+            assert got[(g, p)] == vals[k - 1], (g, p)
