@@ -360,6 +360,18 @@ def q_dd_minhash_pairs(sf_dir: str):
     )
 
 
+def q_dd_simhash_pairs(sf_dir: str):
+    """Pigeonhole-bucketed simhash near-dup pairs (hamming <= 3),
+    oracle-checked: DuckDB recomputes the md5 simhash and brute-forces
+    bit_count(xor(a, b))."""
+    from rex_ray.stages.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_hamming=3,
+    )
+
+
 def q_dd_jaccard_pairs(sf_dir: str):
     """Exact prefix-filtered n-gram Jaccard — recall 1 by theorem, so
     this oracle-checks against brute-force SQL at a LOOSER threshold
@@ -722,6 +734,32 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """
 
+EXT_SQL["dd_simhash_pairs"] = f"""
+WITH toks AS (
+    SELECT doc_id, u.tok
+    FROM (SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+         unnest(string_split(nt, ' ')) AS u(tok)
+),
+th AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+votes AS (
+    SELECT doc_id, i,
+           sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th, unnest(range(64)) AS u(i)
+    GROUP BY doc_id, i
+),
+sh AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::UBIGINT << i)
+                    ELSE 0::UBIGINT END)::UBIGINT AS simhash
+    FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 EXT_SQL["dd_jaccard_pairs"] = f"""
 WITH sh AS ({_SHINGLES})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -792,6 +830,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_simhash": q_dd_simhash,
+    "dd_simhash_pairs": q_dd_simhash_pairs,
     "dd_embedding_pairs": q_dd_embedding_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
