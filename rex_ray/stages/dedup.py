@@ -275,20 +275,38 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
         )
 
     tagged = docs_ds.map_batches(fused, batch_format="pandas").materialize()
-    sketches = tagged.filter(expr="kind == 's'").select_columns(
-        ["doc_id", "sh", "bands"]
-    )
-    bands = tagged.filter(expr="kind == 'b'").select_columns(
-        ["band_key", "doc_id"]
+    return _bucketed_jaccard_pairs(
+        tagged, key_col="band_key", keyset_col="bands",
+        slim_kind="b", threshold=threshold,
     )
 
-    hot = pre_shuffle(_hot_bucket_rows(bands, "band_key"))
 
-    # hot-DOC sketch lookup, built worker-side from the sketches
-    # filtered to hot docs only (O(duplicate clusters) entries — the
-    # same small-side assumption as the hot-key set; a hash join is
-    # the fallback beyond that)
+def _bucketed_jaccard_pairs(
+    tagged, key_col: str, keyset_col: str, slim_kind: str, threshold: float
+):
+    """Shared verify tail of the MinHash-LSH and prefix-filter paths:
+
+    1. hot buckets over the slim (key_col, doc_id) rows (partial
+       counts + worker-built broadcast key-set filter);
+    2. hot-DOC sketch lookup built worker-side from the sketch rows
+       filtered to hot docs only (O(duplicate clusters) entries — the
+       same small-side assumption as the hot-key set; a hash join is
+       the fallback beyond that);
+    3. in-bucket exact-Jaccard verify; pair dedup is MAP-SIDE — each
+       pair is emitted only from its minimal shared bucket (both
+       docs' key sets ride the broadcast dict), so no global pair
+       shuffle is needed.
+    """
     import pyarrow.compute as pc
+
+    sketches = tagged.filter(expr="kind == 's'").select_columns(
+        ["doc_id", "sh", keyset_col]
+    )
+    slim = tagged.filter(expr=f"kind == '{slim_kind}'").select_columns(
+        [key_col, "doc_id"]
+    )
+
+    hot = pre_shuffle(_hot_bucket_rows(slim, key_col))
 
     doc_ref = _worker_built_ref(
         hot,
@@ -313,13 +331,13 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     sketch_ref = _worker_built_ref(
         sketches.map_batches(keep_hot_docs, batch_format="pyarrow"),
         lambda tables: {
-            d: (sh, frozenset(bl))
+            d: (sh, frozenset(kl))
             for t in tables
             if "doc_id" in t.schema.names
-            for d, sh, bl in zip(
+            for d, sh, kl in zip(
                 t["doc_id"].to_pylist(),
                 t["sh"].to_pylist(),
-                t["bands"].to_pylist(),
+                t[keyset_col].to_pylist(),
             )
         },
     )
@@ -328,7 +346,7 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
         rows = []
         if len(g) > 1:
             sk = _side_object(_ref)
-            this_key = int(g["band_key"].iloc[0])
+            this_key = int(g[key_col].iloc[0])
             ids = sorted(set(g["doc_id"]))
             shingles = {
                 d: set(sk[d][0].split(SHINGLE_SEP)) for d in ids
@@ -336,7 +354,7 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
             for da, db in combinations(ids, 2):
                 # map-side pair dedup: a colliding pair appears in
                 # every bucket the two docs share; only the minimal
-                # shared band key emits it, so no global pair shuffle
+                # shared key emits it, so no global pair shuffle
                 if min(sk[da][1] & sk[db][1]) != this_key:
                     continue
                 if H.jaccard(shingles[da], shingles[db]) >= threshold:
@@ -346,7 +364,7 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
             schema=_PAIR_SCHEMA,
         )
 
-    return hot.groupby("band_key").map_groups(
+    return hot.groupby(key_col).map_groups(
         bucket_pairs, batch_format="pandas"
     )
 
@@ -423,73 +441,9 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 3):
         )
 
     tagged = docs_ds.map_batches(fused, batch_format="pandas").materialize()
-    sketches = tagged.filter(expr="kind == 's'").select_columns(
-        ["doc_id", "sh", "pref"]
-    )
-    prefix_rows = tagged.filter(expr="kind == 'p'").select_columns(
-        ["bucket_key", "doc_id"]
-    )
-
-    hot = pre_shuffle(_hot_bucket_rows(prefix_rows, "bucket_key"))
-
-    import pyarrow.compute as pc
-
-    doc_ref = _worker_built_ref(
-        hot,
-        lambda tables: set().union(
-            *(
-                t["doc_id"].to_pylist()
-                for t in tables
-                if "doc_id" in t.schema.names
-            )
-        )
-        if any("doc_id" in t.schema.names for t in tables)
-        else set(),
-    )
-
-    def keep_hot_docs(t: pa.Table, _ref=doc_ref) -> pa.Table:
-        docs = _side_object(_ref)
-        if not docs:
-            return t.schema.empty_table()
-        vs = pa.array(sorted(docs), type=pa.int64())
-        return t.filter(pc.is_in(t["doc_id"], value_set=vs))
-
-    sketch_ref = _worker_built_ref(
-        sketches.map_batches(keep_hot_docs, batch_format="pyarrow"),
-        lambda tables: {
-            d: (sh, frozenset(pl))
-            for t in tables
-            if "doc_id" in t.schema.names
-            for d, sh, pl in zip(
-                t["doc_id"].to_pylist(),
-                t["sh"].to_pylist(),
-                t["pref"].to_pylist(),
-            )
-        },
-    )
-
-    def bucket_pairs(g: pd.DataFrame, _ref=sketch_ref) -> pa.Table:
-        rows = []
-        if len(g) > 1:
-            sk = _side_object(_ref)
-            this_key = int(g["bucket_key"].iloc[0])
-            ids = sorted(set(g["doc_id"]))
-            shingles = {
-                d: set(sk[d][0].split(SHINGLE_SEP)) for d in ids
-            }
-            for da, db in combinations(ids, 2):
-                shared = sk[da][1] & sk[db][1]
-                if min(shared) != this_key:  # map-side pair dedup
-                    continue
-                if H.jaccard(shingles[da], shingles[db]) >= threshold:
-                    rows.append((da, db))
-        return arrow_block(
-            pd.DataFrame(rows, columns=["doc_a", "doc_b"]),
-            schema=_PAIR_SCHEMA,
-        )
-
-    return hot.groupby("bucket_key").map_groups(
-        bucket_pairs, batch_format="pandas"
+    return _bucketed_jaccard_pairs(
+        tagged, key_col="bucket_key", keyset_col="pref",
+        slim_kind="p", threshold=threshold,
     )
 
 
