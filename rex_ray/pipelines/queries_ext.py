@@ -298,6 +298,14 @@ def q_events_asof(sf_dir: str):
     )
 
 
+def q_ta_inverted_index(sf_dir: str):
+    from rex_ray.stages.textstats import inverted_index
+
+    return inverted_index(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_ta_source_cap(sf_dir: str):
     from rex_ray.stages.relational import per_key_cap
 
@@ -675,6 +683,16 @@ SELECT DISTINCT p.doc_id, p.pos, g.h
 FROM picks p JOIN grams g ON g.doc_id = p.doc_id AND g.pos = p.pos
 """
 
+EXT_SQL["ta_inverted_index"] = """
+WITH pairs AS (
+    SELECT DISTINCT u.token, doc_id
+    FROM documents, unnest(string_split(text, ' ')) AS u(token)
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY token
+"""
+
 EXT_SQL["ta_source_cap"] = f"""
 SELECT source, doc_id FROM documents
 QUALIFY row_number() OVER (
@@ -822,6 +840,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "events_quantiles": q_events_quantiles,
     "ta_fingerprints": q_ta_fingerprints,
     "ta_source_cap": q_ta_source_cap,
+    "ta_inverted_index": q_ta_inverted_index,
     "ta_doc_stats": q_ta_doc_stats,
     "ta_langid_confusion": q_ta_langid_confusion,
     "ta_quality": q_ta_quality,

@@ -163,3 +163,51 @@ def document_fingerprints(docs_ds, k: int = 3, w: int = 4):
         )
 
     return docs_ds.map_batches(per_batch, batch_format="pandas")
+
+
+def inverted_index(docs_ds, min_df: int = 1):
+    """Token -> posting-list index: (token, df, postings) with
+    ``postings`` the comma-joined sorted distinct doc_ids.  The shuffle
+    carries slim distinct (token, doc_id) pairs (per-batch dedup
+    combiner).  Scale note: head tokens (stopwords) concentrate one
+    group's postings on one worker — cap or shard head tokens by
+    doc_id range (same salting discipline as ``stages/salt``) before
+    building a web-scale index."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("df", pa.int64()),
+            ("postings", pa.string()),
+        ]
+    )
+
+    def pairs(batch: pd.DataFrame) -> pa.Table:
+        toks, dids = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            for t in set(text.split(" ")):
+                toks.append(t)
+                dids.append(doc_id)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < min_df:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": [",".join(str(i) for i in ids)],
+            },
+            schema=out_schema,
+        )
+
+    slim = pre_shuffle(docs_ds.map_batches(pairs, batch_format="pandas"))
+    return slim.groupby("token").map_groups(merge, batch_format="pandas")

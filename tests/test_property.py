@@ -161,3 +161,61 @@ def test_minhash_estimate_close(a_ids, b_ids):
     assert abs(est - exact) < 0.35  # 128 perms: loose but sound bound
     if a == b:
         assert est == 1.0
+
+
+@given(
+    st.lists(st.integers(0, 9), min_size=8, max_size=60),
+    st.lists(st.integers(0, 9), min_size=8, max_size=60),
+    st.integers(0, 40),
+)
+@settings(max_examples=60, deadline=None)
+def test_winnowing_shared_run_guarantee(a_ids, b_ids, start):
+    """Winnowing's core guarantee (Schleimer et al.): two docs sharing
+    a token run of length >= w + k - 1 share at least one fingerprint
+    HASH.  Build doc B by splicing a run from doc A into unrelated
+    text."""
+    from rex_ray.functions.hashing import md5_gram_hash, winnow
+
+    k, w = 3, 4
+    run_len = w + k - 1
+    a_toks = [f"a{i}" for i in a_ids]
+    if len(a_toks) < run_len:
+        return
+    s = min(start, len(a_toks) - run_len)
+    run = a_toks[s : s + run_len]
+    b_toks = [f"b{i}" for i in b_ids] + run + [f"c{i}" for i in b_ids]
+
+    def fps(toks):
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        _, hs = winnow(md5_gram_hash(grams), w)
+        return set(hs.tolist())
+
+    assert fps(a_toks) & fps(b_toks)
+
+
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=120),
+    st.floats(0.1, 0.99),
+)
+@settings(max_examples=60, deadline=None)
+def test_prefix_filter_bound_sound(ids, threshold):
+    """For any set and threshold, removing the prefix from A must make
+    it impossible for a disjoint-prefix B to reach the threshold: any
+    B with jaccard(A, B) >= t shares an element with A's prefix."""
+    import numpy as np
+
+    from rex_ray.functions.hashing import _stable_hash64
+    from rex_ray.stages.dedup import _prefix_len
+
+    A = sorted({f"s{i}" for i in ids})
+    hv = _stable_hash64(A).view(np.int64)
+    order = np.argsort(hv, kind="stable")
+    p = _prefix_len(len(A), threshold)
+    prefix = {A[i] for i in order[:p]}
+    rest = set(A) - prefix
+    # the worst adversary keeps ALL non-prefix elements and adds
+    # nothing: its jaccard is the max achievable without touching the
+    # prefix, and must be strictly below the threshold
+    if rest:
+        j = len(rest) / len(A)
+        assert j < threshold
