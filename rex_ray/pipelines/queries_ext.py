@@ -726,7 +726,7 @@ v AS (
 )
 SELECT c.event_id, c.user_id, c.ts_us,
        v.ts_us AS asof_ts_us, v.value AS asof_value
-FROM c ASOF LEFT JOIN v
+FROM c ASOF JOIN v
   ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
 """
 

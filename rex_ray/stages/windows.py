@@ -130,27 +130,24 @@ def asof_join_events(
             return out_schema.empty_table()
         right = g[g["side"] == 1].sort_values(["ts_us", "event_id"])
         right = right.drop_duplicates("ts_us", keep="last")
-        lt = left["ts_us"].to_numpy()
         if len(right) == 0:
-            idx = np.full(len(left), -1)
-        else:
-            rts = right["ts_us"].to_numpy()
-            idx = np.searchsorted(rts, lt, side="right") - 1
+            return out_schema.empty_table()
+        lt = left["ts_us"].to_numpy()
+        rts = right["ts_us"].to_numpy()
+        idx = np.searchsorted(rts, lt, side="right") - 1
+        # inner as-of semantics (DuckDB ASOF JOIN default): drop left
+        # rows with no prior right row so the output is NULL-free.
         hit = idx >= 0
-        if len(right):
-            asof_ts = right["ts_us"].to_numpy()[np.maximum(idx, 0)]
-            asof_val = right["val"].to_numpy()[np.maximum(idx, 0)]
-        else:
-            asof_ts = np.zeros(len(left), dtype=np.int64)
-            asof_val = np.zeros(len(left))
+        left, lt, idx = left[hit], lt[hit], idx[hit]
         return pa.table(
             {
                 "event_id": pa.array(left["event_id"].to_numpy(), pa.int64()),
                 "user_id": pa.array(left["user_id"].to_numpy(), pa.int64()),
                 "ts_us": pa.array(lt, pa.int64()),
-                "asof_ts_us": pa.array(asof_ts, pa.int64(), mask=~hit),
+                "asof_ts_us": pa.array(rts[idx], pa.int64()),
                 "asof_value": pa.array(
-                    asof_val.astype(np.float64), pa.float64(), mask=~hit
+                    right["val"].to_numpy()[idx].astype(np.float64),
+                    pa.float64(),
                 ),
             }
         )

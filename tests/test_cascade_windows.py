@@ -133,6 +133,8 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
         by="user_id",
         direction="backward",
     ).sort_values("event_id").reset_index(drop=True)
+    # inner as-of semantics: the engine drops clicks with no prior view
+    exp = exp.dropna(subset=["asof_ts_us"]).reset_index(drop=True)
     assert len(got) == len(exp)
     assert (got["event_id"] == exp["event_id"]).all()
     pd.testing.assert_series_equal(

@@ -50,7 +50,8 @@ def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> list:
             bv.dtype, np.floating
         ):
             ok = np.allclose(
-                av.astype(np.float64), bv.astype(np.float64), rtol=1e-12, atol=1e-12
+                av.astype(np.float64), bv.astype(np.float64),
+                rtol=1e-12, atol=1e-12, equal_nan=True,
             )
         else:
             ok = (av.astype(object) == bv.astype(object)).all()
