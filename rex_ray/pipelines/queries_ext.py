@@ -392,6 +392,30 @@ def q_dd_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_dd_dup_clusters(sf_dir: str):
+    """Near-dup connected components: (doc_id, cluster_id) for every
+    doc in >=1 exact-Jaccard dup pair.  Oracle = recursive-CTE
+    transitive closure over the same pair graph."""
+    from rex_ray.stages.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=NGRAM_JACCARD,
+    )
+
+
+def q_dd_survivors(sf_dir: str):
+    """The deduplicated corpus id set (keep min-doc_id representative
+    per near-dup cluster) — the materialization step a 100 TB dedup
+    actually ships."""
+    from rex_ray.stages.dedup import dedup_survivors
+
+    return dedup_survivors(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=NGRAM_JACCARD,
+    )
+
+
 def q_dd_simhash(sf_dir: str):
     from rex_ray.stages.dedup import simhash_table
 
@@ -786,6 +810,37 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= {NGRAM_JACCARD}
 """
 
+_DUP_REACH = f"""
+pairs AS (
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= {NGRAM_JACCARD}
+),
+edges AS (
+    SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(node, r) AS (
+    SELECT a AS node, a AS r FROM edges
+    UNION
+    SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+)
+"""
+
+EXT_SQL["dd_dup_clusters"] = f"""
+WITH RECURSIVE sh AS ({_SHINGLES}),
+{_DUP_REACH}
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+EXT_SQL["dd_survivors"] = f"""
+WITH RECURSIVE sh AS ({_SHINGLES}),
+{_DUP_REACH},
+lbl AS (SELECT node, min(r) AS r FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM lbl WHERE node != r)
+"""
+
 EXT_SQL["dd_embedding_pairs"] = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -848,6 +903,8 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
+    "dd_dup_clusters": q_dd_dup_clusters,
+    "dd_survivors": q_dd_survivors,
     "dd_simhash": q_dd_simhash,
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "dd_embedding_pairs": q_dd_embedding_pairs,

@@ -611,3 +611,80 @@ def embedding_dup_pairs(
     return pre_shuffle(fanned).groupby("pair_key").map_groups(
         pair_group, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters + corpus materialization (the dedup endgame)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(docs_ds, threshold: float = 0.8, k: int = 3):
+    """Connected components over the EXACT n-gram-Jaccard near-dup pair
+    graph: (doc_id, cluster_id = min doc_id of the component).  Only
+    docs participating in >=1 dup pair appear — singletons stay out, so
+    the label table is O(dup docs), not O(corpus).
+
+    Pairs come from :func:`ngram_jaccard_dup_pairs` (prefix-filtered
+    SSJoin, recall 1 by theorem), components from the distributed
+    min-label propagation in ``stages/canonical.py`` — the same
+    machinery that canonicalizes entity surfaces (reference analog:
+    set-dedup semantics of rex/models/usm.py:149 lifted to a corpus-
+    level transitive closure).  Scale: edges/labels shuffles carry
+    16-byte rows; rounds = O(cluster diameter), typically 2-3 for
+    near-dup chains."""
+    from rex_ray.stages.canonical import cc_label_propagation
+
+    pairs = ngram_jaccard_dup_pairs(
+        docs_ds, threshold=threshold, k=k
+    ).materialize()
+
+    def as_nodes(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        return pa.table({"node": pa.compute.unique(ids)})
+
+    nodes = pairs.map_batches(as_nodes, batch_format="pyarrow")
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": t["doc_a"], "b": t["doc_b"]}),
+        batch_format="pyarrow",
+    )
+    labels = cc_label_propagation(nodes, edges)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["node"], "cluster_id": t["canonical"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_survivors(docs_ds, threshold: float = 0.8, k: int = 3):
+    """Materialize the deduplicated corpus id set: every doc except
+    non-representative near-dup cluster members (representative = min
+    doc_id).  The loser set is built worker-side from the (small)
+    cluster label table and broadcast once; the corpus pass is a
+    streaming filter — the full doc table never gathers anywhere."""
+    clusters = near_dup_clusters(docs_ds, threshold=threshold, k=k)
+
+    def build_losers(tables) -> set:
+        losers: set = set()
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            c = t["cluster_id"].to_numpy(zero_copy_only=False)
+            losers.update(d[d != c].tolist())
+        return losers
+
+    loser_ref = _worker_built_ref(clusters, build_losers)
+
+    def keep(t: pa.Table, _ref=loser_ref) -> pa.Table:
+        losers = _side_object(_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (int(x) not in losers for x in ids), count=len(ids), dtype=bool
+        )
+        return pa.table({"doc_id": pa.array(ids[mask], pa.int64())})
+
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        keep, batch_format="pyarrow"
+    )

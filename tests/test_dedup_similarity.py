@@ -220,3 +220,34 @@ def test_prefix_len_bound():
     assert _prefix_len(7, 0.9) == 1   # ceil(6.3)=7
     assert _prefix_len(1, 0.8) == 1
     assert _prefix_len(3, 0.1) == 3   # clamped to n? n-1+1=3
+
+
+def test_dup_clusters_match_local_union_find(docs_ds):
+    """Distributed CC over the near-dup pair graph == driver union-find
+    over the same pairs; survivors = corpus minus non-representatives."""
+    from rex_ray.stages.canonical import cc_local
+    from rex_ray.stages.dedup import (
+        dedup_survivors,
+        near_dup_clusters,
+        ngram_jaccard_dup_pairs,
+    )
+
+    threshold = 0.8
+    pairs = ngram_jaccard_dup_pairs(docs_ds, threshold=threshold).to_pandas()
+    assert len(pairs) > 0
+    edges = list(zip(pairs["doc_a"], pairs["doc_b"]))
+    nodes = sorted({x for e in edges for x in e})
+    expected = cc_local(nodes, edges)
+
+    got = near_dup_clusters(docs_ds, threshold=threshold).to_pandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == expected
+
+    surv = set(
+        dedup_survivors(docs_ds, threshold=threshold).to_pandas()["doc_id"]
+    )
+    losers = {n for n, c in expected.items() if n != c}
+    all_ids = set(docs_ds.to_pandas()["doc_id"])
+    assert surv == all_ids - losers
+    # every cluster keeps exactly its min member
+    reps = {c for c in expected.values()}
+    assert reps <= surv
