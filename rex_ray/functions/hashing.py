@@ -248,3 +248,68 @@ def winnow(hv: np.ndarray, w: int):
     idx = (w - 1) - np.argmax(W[:, ::-1] == mn[:, None], axis=1)
     pos = np.unique(np.arange(m - w + 1) + idx)
     return pos.astype(np.int64), hv[pos].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# integer-key Bloom filter (broadcast semi-join prefilter)
+# ---------------------------------------------------------------------------
+
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrapping mod 2^64,
+    numpy's native unsigned semantics)."""
+    x = (x.astype(np.uint64) + _SM_C1)
+    x = (x ^ (x >> np.uint64(30))) * _SM_C2
+    x = (x ^ (x >> np.uint64(27))) * _SM_C3
+    return x ^ (x >> np.uint64(31))
+
+
+class IntBloomFilter:
+    """Fixed-size Bloom filter over int64 keys, fully vectorized.
+
+    num_hashes probe positions per key via double hashing
+    (h1 + i*h2 mod m, Kirsch & Mitzenmacher 2006).  The bitmap is a
+    numpy uint64 array — a 1M-bit filter is 128 KB, cheap to ray.put
+    once and read in every filter task.  Deterministic across
+    processes (no Python hash())."""
+
+    def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 5):
+        self.m = int(num_bits)
+        self.k = int(num_hashes)
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        u = keys.astype(np.int64).view(np.uint64)
+        h1 = splitmix64(u)
+        h2 = splitmix64(u ^ _SM_C2) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(np.asarray(keys)).ravel()
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Boolean mask; no false negatives by construction."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(keys))
+        hit = (
+            self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return hit.all(axis=0)
+
+    def merge(self, other: "IntBloomFilter") -> "IntBloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.bits |= other.bits
+        return self

@@ -105,6 +105,27 @@ def _custkey_to_nation(sf_dir: str) -> Dict[int, str]:
     }
 
 
+def q_orders_with_returns(sf_dir: str):
+    """Exact semi-join via broadcast Bloom prefilter: orders with at
+    least one returned lineitem.  The Bloom pass drops non-candidate
+    orders before the shuffle join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rex_ray.stages.relational import bloom_semi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table({"o_orderkey": keep["l_orderkey"]})
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(returned_keys, batch_format="pyarrow")
+    return bloom_semi_join(orders, li, on="o_orderkey")
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Large-large hash join (lineitem x orders on orderkey) + broadcast
     dimension lookup (custkey -> nation) + partial-agg groupby."""
@@ -810,6 +831,12 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= {NGRAM_JACCARD}
 """
 
+EXT_SQL["orders_with_returns"] = """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey IN
+      (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+"""
+
 _DUP_REACH = f"""
 pairs AS (
     SELECT a.doc_id AS a, b.doc_id AS b
@@ -886,6 +913,7 @@ FROM media
 EXT_QUERIES: Dict[str, Callable] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "orders_with_returns": q_orders_with_returns,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
     "events_type_stats": q_events_type_stats,

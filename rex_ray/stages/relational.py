@@ -17,6 +17,7 @@ from typing import Dict, Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 
@@ -78,13 +79,25 @@ def broadcast_join(ds, mapping: Dict, key: str, out: str, inner: bool = True,
     )
 
 
-def hash_join(left, right, on: str, num_partitions: int = 32,
+def default_join_partitions() -> int:
+    """Hash-join partition count sized to the cluster: the hash-shuffle
+    backend schedules aggregator actors against the partition count, so
+    a fixed 32 deadlocks a 4-cpu cluster while 4 under-splits a 32-cpu
+    one.  Clamp to [2, 32] (at real scale, pass an explicit count)."""
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return max(2, min(32, n))
+
+
+def hash_join(left, right, on: str, num_partitions: int = None,
               join_type: str = "inner"):
     """Large-large hash-partitioned join via ``Dataset.join``."""
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_join_partitions(),
         on=(on,),
     )
 
@@ -146,3 +159,62 @@ def per_key_cap(ds, key_col: str, id_col: str, n: int):
         return arrow_block(g[[key_col, id_col]].reset_index(drop=True))
 
     return part.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
+                    num_hashes: int = 5, num_partitions: int = None):
+    """Exact semi-join ``left ⋉ right`` with a broadcast Bloom
+    prefilter: the left side is filtered against a bitmap of the right
+    keys BEFORE the exact hash join, so only candidate rows (true
+    matches + the Bloom false-positive sliver) enter the shuffle.
+
+    At 100 TB this is the difference between shuffling the whole left
+    table and shuffling ~|matches|: the bitmap (128 KB at 1M bits) is
+    built worker-side from the right key column — a tree of per-block
+    partial filters OR-merged in one task, the driver only ever holds
+    the ObjectRef — and read once per filter task.  Correctness does
+    not depend on the Bloom parameters (no false negatives; false
+    positives are removed by the exact join), so num_bits is purely a
+    perf knob.  Reference analog: the in-memory id-probe joins of
+    data/IPRE/convert.py:12-20, made scale-safe.
+    """
+    from rex_ray.functions.hashing import IntBloomFilter
+    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+
+    right_keys = right.select_columns([on])
+
+    def build_filter(tables) -> IntBloomFilter:
+        bf = IntBloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+        for t in tables:
+            if t.num_rows:
+                bf.add_many(t[on].to_numpy(zero_copy_only=False))
+        return bf
+
+    bf_ref = _worker_built_ref(right_keys, build_filter)
+
+    def prefilter(t: "pa.Table", _ref=bf_ref) -> "pa.Table":
+        bf = _side_object(_ref)
+        keys = t[on].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bf.contains_many(keys)))
+
+    candidates = left.map_batches(prefilter, batch_format="pyarrow")
+
+    # exact verify: distinct right keys (partial unique per batch keeps
+    # the shuffle at O(distinct)) joined back to the candidates.
+    def batch_unique(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return pa.table({on: pc.unique(t[on].combine_chunks())})
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        pre_shuffle(right_keys.map_batches(batch_unique, batch_format="pyarrow"))
+        .groupby(on)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([on])
+    )
+    return candidates.join(
+        distinct, join_type="inner", on=(on,),
+        num_partitions=num_partitions or default_join_partitions(),
+    )

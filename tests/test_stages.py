@@ -177,3 +177,55 @@ def test_per_key_cap_block_structure_invariant(ray_session):
     )
     assert a.equals(b)
     assert (a.groupby("source").size() <= 7).all()
+
+
+def test_bloom_filter_no_false_negatives():
+    import numpy as np
+
+    from rex_ray.functions.hashing import IntBloomFilter
+
+    rng = np.random.default_rng(0)
+    keys = rng.choice(10**9, 6000, replace=False).astype(np.int64)
+    members, others = keys[:3000], keys[3000:]
+    bf = IntBloomFilter(num_bits=1 << 16, num_hashes=5)
+    bf.add_many(members)
+    assert bf.contains_many(members).all()          # never a false negative
+    assert bf.contains_many(others).mean() < 0.05   # FP rate sane
+    # OR-merge equals single-shot build
+    b1 = IntBloomFilter(num_bits=1 << 16, num_hashes=5)
+    b2 = IntBloomFilter(num_bits=1 << 16, num_hashes=5)
+    b1.add_many(members[:1500]); b2.add_many(members[1500:])
+    assert (b1.merge(b2).bits == bf.bits).all()
+
+
+def test_bloom_semi_join_matches_isin(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rex_ray.stages.relational import bloom_semi_join
+
+    sf = "/root/testdata/sf0.001"
+    orders = rd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey"])
+    li = rd.read_parquet(
+        f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.filter(
+                pc.equal(t["l_returnflag"], "R"))["l_orderkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    got = sorted(
+        bloom_semi_join(orders, li, on="o_orderkey")
+        .to_pandas()["o_orderkey"]
+    )
+    odf = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey"])
+    ldf = pd.read_parquet(
+        f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    keys = set(ldf.loc[ldf["l_returnflag"] == "R", "l_orderkey"])
+    exp = sorted(odf.loc[odf["o_orderkey"].isin(keys), "o_orderkey"])
+    assert got == exp and len(got) > 0
