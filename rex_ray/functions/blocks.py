@@ -69,6 +69,31 @@ def default_concurrency():
     return (1, max(2, n))
 
 
+def compact_blocks(ds, batch_size: int = 65536):
+    """Bundle consecutive blocks so empty blocks merge into their
+    neighbors — REQUIRED on any ``Dataset.join`` input whose lineage
+    contains a shuffle (join/groupby) or a selective filter.
+
+    Why: Ray 2.49's hash-shuffle join broadcasts each input's schema to
+    all partition aggregators using the FIRST block it sees — but
+    ``_shuffle_block`` (ray/data/_internal/execution/operators/
+    hash_shuffle.py:224) early-returns on a 0-row block BEFORE that
+    broadcast, and the caller still marks the schema as sent.  A join
+    or groupby upstream routinely emits empty partition blocks first,
+    so downstream join partitions that receive no rows build a
+    schema-less table and pyarrow raises ``No match or multiple
+    matches for key field reference ... on left side of the join``.
+
+    A pass-through ``map_batches`` with an explicit ``batch_size``
+    coalesces consecutive blocks per task (Arrow concat, no Python
+    rows), so empties vanish unless the whole dataset is empty —
+    restoring the schema broadcast.  Cost: one streaming copy of each
+    block, no shuffle."""
+    return ds.map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def pre_shuffle(ds):
     """Stage a shuffle input: materialize the partial-aggregate output
     right before a ``groupby``/``sort`` all-to-all.

@@ -183,6 +183,39 @@ def q_kg_entity_degrees(sf_dir: str):
     return entity_degrees(kg.triple_store_from_text_docs(_docs(sf_dir)))
 
 
+def q_kg_entity_triangles(sf_dir: str):
+    """Distributed triangle counting over the canonical entity graph
+    (degree-ordered wedges + edge-closure hash join) — per-entity
+    triangle participation."""
+    import pyarrow as pa
+
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.graph import triangle_counts
+
+    store = kg.triple_store_from_text_docs(_docs(sf_dir))
+    edges = store.map_batches(
+        lambda t: pa.table({"a": t["subj_id"], "b": t["obj_id"]}),
+        batch_format="pyarrow",
+    )
+    return triangle_counts(edges)
+
+
+def q_kg_entity_pagerank(sf_dir: str):
+    """Fixed-iteration (3) PageRank over the canonical entity graph —
+    one rank-join + message-sum shuffle per Pregel superstep."""
+    import pyarrow as pa
+
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.graph import pagerank
+
+    store = kg.triple_store_from_text_docs(_docs(sf_dir))
+    edges = store.map_batches(
+        lambda t: pa.table({"a": t["subj_id"], "b": t["obj_id"]}),
+        batch_format="pyarrow",
+    )
+    return pagerank(edges, num_iters=3, damping=0.85)
+
+
 def q_kg_parity_prf(sf_dir: str):
     """Triple-set P/R/F1 of the distributed extractor vs the
     independent straight-line gold implementation (north_rule's
@@ -688,6 +721,83 @@ GROUP BY 1, 2, 3
 _SQL["kg_triple_store"] = _TRIPLE_STORE_SQL
 _SQL["kg_triple_store_interleaved"] = _TRIPLE_STORE_SQL
 
+_SQL["kg_entity_triangles"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+store AS (
+    SELECT cs.canonical_id AS subj_id, co.canonical_id AS obj_id
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    GROUP BY 1, 2
+),
+e AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS a,
+           greatest(subj_id, obj_id) AS b
+    FROM store WHERE subj_id != obj_id
+),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT entity_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT x AS entity_id FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+)
+GROUP BY entity_id
+"""
+
+_SQL["kg_entity_pagerank"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+store AS (
+    SELECT cs.canonical_id AS subj_id, co.canonical_id AS obj_id
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    GROUP BY 1, 2
+),
+e AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS a,
+           greatest(subj_id, obj_id) AS b
+    FROM store WHERE subj_id != obj_id
+),
+dir AS (
+    SELECT a AS u, b AS v FROM e
+    UNION ALL
+    SELECT b AS u, a AS v FROM e
+),
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM dir GROUP BY u),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+pr0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+pr1 AS (
+    SELECT d.v AS u,
+           (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * SUM(p.r / g.deg) AS r
+    FROM dir d JOIN pr0 p ON d.u = p.u JOIN deg g ON d.u = g.u
+    GROUP BY d.v
+),
+pr2 AS (
+    SELECT d.v AS u,
+           (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * SUM(p.r / g.deg) AS r
+    FROM dir d JOIN pr1 p ON d.u = p.u JOIN deg g ON d.u = g.u
+    GROUP BY d.v
+),
+pr3 AS (
+    SELECT d.v AS u,
+           (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * SUM(p.r / g.deg) AS r
+    FROM dir d JOIN pr2 p ON d.u = p.u JOIN deg g ON d.u = g.u
+    GROUP BY d.v
+)
+SELECT u AS entity_id, ROUND(r, 8) AS pr FROM pr3
+"""
+
 _SQL["kg_entity_degrees"] = f"""
 WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()},
@@ -844,6 +954,8 @@ QUERIES: Dict[str, Callable] = {
     "kg_canonical_map": q_kg_canonical_map,
     "kg_triple_store": q_kg_triple_store,
     "kg_entity_degrees": q_kg_entity_degrees,
+    "kg_entity_triangles": q_kg_entity_triangles,
+    "kg_entity_pagerank": q_kg_entity_pagerank,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_parity_prf": q_kg_parity_prf,
     "kg_feature_rows": q_kg_feature_rows,

@@ -1,0 +1,374 @@
+"""Graph analytics over the materialized triple store.
+
+The canonical entity graph (nodes = canonical entities, undirected
+edges = subj—obj co-occurrence) is the "graph materialize" half of the
+north rule.  Beyond the degree view (``stages/aggregate.entity_degrees``)
+this module provides distributed triangle counting and fixed-iteration
+PageRank, both expressed as Ray Data groupby/join dataflows — no driver
+materialization of nodes or edges.
+
+Triangle counting follows the degree-ordered wedge pattern (Suri &
+Vassilvitskii, "Counting triangles and the curse of the last reducer",
+WWW 2011): orient every edge from its lower-(degree, id) endpoint,
+generate wedges per source node, and close them with one hash join
+against the oriented edge set.  The orientation bounds per-node wedge
+fan-out by O(sqrt(m)) regardless of raw degree skew — the hub that
+would otherwise emit deg^2 wedges emits almost none, because nearly all
+its edges point INTO it.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from rex_ray.functions.blocks import arrow_block, compact_blocks, pre_shuffle
+
+
+_EDGE_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+
+def _undirected_edges(edges_ds):
+    """Canonicalize to distinct (a < b) string edges, dropping loops.
+    Ids are cast to string so one code path serves entity surfaces and
+    integer doc ids alike (and every block carries a stable schema)."""
+    def canon(t: pa.Table) -> pa.Table:
+        a = np.asarray([str(x) for x in t["a"].to_pylist()], dtype=object)
+        b = np.asarray([str(x) for x in t["b"].to_pylist()], dtype=object)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        df = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        return arrow_block(df, schema=_EDGE_SCHEMA)
+
+    from ray.data.aggregate import Count
+
+    dedup = (
+        pre_shuffle(edges_ds.map_batches(canon, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+    )
+    return dedup
+
+
+def triangle_counts(edges_ds, num_partitions: int = None):
+    """Per-node triangle participation over an undirected edge list
+    (columns ``a``, ``b``).  Returns (entity_id, n_triangles), nodes in
+    >=1 triangle only.
+
+    Dataflow: dedup edges -> degree table -> orient by (degree, id)
+    rank via one broadcast-free join per endpoint -> wedges per source
+    (bounded by orientation) -> close wedges against the edge set with
+    a hash join on the composite key -> explode 3 nodes per triangle ->
+    partial-count shuffle.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from rex_ray.stages.relational import default_join_partitions
+
+    nparts = num_partitions or default_join_partitions()
+    # compact_blocks on every join input below: the dedup groupby /
+    # prior joins emit empty partition blocks first, which would lose
+    # the join's schema broadcast (see functions/blocks.compact_blocks)
+    edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
+
+    _empty_out = pa.schema(
+        [("entity_id", pa.string()), ("n_triangles", pa.int64())]
+    ).empty_table()
+    if edges.count() == 0:  # metadata-cheap: edges is materialized
+        import ray.data as rd
+
+        return rd.from_arrow(_empty_out)
+
+    # degree per node (partial counts per batch -> one slim shuffle)
+    def deg_rows(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return (
+            pa.table({"node": ids})
+            .group_by("node")
+            .aggregate([("node", "count")])
+            .rename_columns(["node", "deg"])
+        )
+
+    degrees = (
+        pre_shuffle(edges.map_batches(deg_rows, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+
+    # orient: join degree onto both endpoints, keep u -> v where
+    # (deg_u, u) < (deg_v, v)
+    da = compact_blocks(degrees).map_batches(
+        lambda t: pa.table({"a": t["node"], "deg_a": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    db = compact_blocks(degrees).map_batches(
+        lambda t: pa.table({"b": t["node"], "deg_b": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    with_deg = compact_blocks(
+        edges.join(da, join_type="inner", on=("a",), num_partitions=nparts)
+    ).join(db, join_type="inner", on=("b",), num_partitions=nparts)
+
+    def orient(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        fwd = (df["deg_a"] < df["deg_b"]) | (
+            (df["deg_a"] == df["deg_b"]) & (df["a"] < df["b"])
+        )
+        u = np.where(fwd, df["a"], df["b"])
+        v = np.where(fwd, df["b"], df["a"])
+        return arrow_block(
+            pd.DataFrame({"u": u, "v": v}),
+            schema=pa.schema([("u", pa.string()), ("v", pa.string())]),
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow")
+
+    # wedges per source: for u with oriented neighbors {v1..vk}, every
+    # unordered neighbor pair is a wedge candidate keyed like an edge
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        vs = sorted(g["v"])
+        if len(vs) < 2:
+            return pa.table(
+                {"u": pa.array([], pa.string()),
+                 "k": pa.array([], pa.string())}
+            )
+        u = g["u"].iloc[0]
+        ks = [f"{x}\x1f{y}" for x, y in combinations(vs, 2)]
+        return pa.table({"u": pa.array([u] * len(ks)), "k": pa.array(ks)})
+
+    # materialize: wedge rows are the shuffle input of the closure join
+    # anyway (pre_shuffle pattern), and the count() guards the join
+    # against a fully-empty left side (triangle-free graph), which the
+    # schema broadcast cannot survive even compacted.
+    wedge_ds = compact_blocks(
+        oriented.groupby("u").map_groups(wedges, batch_format="pandas")
+    ).materialize()
+    if wedge_ds.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_empty_out)
+
+    # close: wedge (v,w) is a triangle iff (v,w) is an edge (canonical
+    # a<b order matches the sorted wedge key by construction)
+    edge_keys = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(
+                    [
+                        f"{x}\x1f{y}"
+                        for x, y in zip(
+                            t["a"].to_pylist(), t["b"].to_pylist()
+                        )
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    closed = wedge_ds.join(
+        compact_blocks(edge_keys),
+        join_type="inner",
+        on=("k",),
+        num_partitions=nparts,
+    )
+
+    # explode the 3 corners, partial-count, final shuffle
+    def corners(t: pa.Table) -> pa.Table:
+        us = t["u"].to_pylist()
+        nodes = list(us)
+        for k in t["k"].to_pylist():
+            v, w = k.split("\x1f")
+            nodes.append(v)
+            nodes.append(w)
+        return (
+            pa.table({"entity_id": pa.array(nodes, pa.string())})
+            .group_by("entity_id")
+            .aggregate([("entity_id", "count")])
+            .rename_columns(["entity_id", "n_triangles"])
+        )
+
+    return (
+        pre_shuffle(closed.map_batches(corners, batch_format="pyarrow"))
+        .groupby("entity_id")
+        .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+    )
+
+
+def triangle_counts_local(edges) -> dict:
+    """Driver-side brute force over an edge iterable — the test twin."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out: dict = {}
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                out[n] = out.get(n, 0) + 1
+    # each triangle is detected once per edge (3x) and each detection
+    # increments all 3 corners, so every node gets +3 per triangle
+    return {k: v // 3 for k, v in out.items()}
+
+
+def pagerank(edges_ds, num_iters: int = 3, damping: float = 0.85,
+             num_partitions: int = None):
+    """Fixed-iteration PageRank over an undirected edge list (columns
+    ``a``, ``b``) — returns (entity_id, pr) with ``pr`` rounded to 8
+    decimals so the double sums (whose addition order differs between
+    engines by ~1 ulp) compare exactly against a SQL oracle.
+
+    Dataflow (one bulk-synchronous step per iteration, the standard
+    Pregel formulation): symmetrize edges -> degree table -> adjacency
+    with source degree attached (built ONCE, materialized) -> per
+    iteration: join current ranks onto adjacency by source, emit
+    rank/deg messages, partial-sum per batch, one groupby per
+    iteration.  The rank table is O(nodes) — the only per-iteration
+    shuffle weight is messages O(edges), and the join input is the
+    compacted rank table, never the raw graph.
+    """
+    from ray.data.aggregate import Sum
+
+    from rex_ray.stages.relational import default_join_partitions
+
+    nparts = num_partitions or default_join_partitions()
+    edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
+
+    out_schema = pa.schema([("entity_id", pa.string()), ("pr", pa.float64())])
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        v = pa.concat_arrays(
+            [t["b"].combine_chunks(), t["a"].combine_chunks()]
+        )
+        return pa.table({"u": u, "v": v})
+
+    directed = edges.map_batches(both_dirs, batch_format="pyarrow")
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"u": t["u"]})
+            .group_by("u")
+            .aggregate([("u", "count")])
+            .rename_columns(["u", "deg"])
+        )
+
+    degrees = (
+        pre_shuffle(directed.map_batches(deg_rows, batch_format="pyarrow"))
+        .groupby("u")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+    n_nodes = degrees.count()
+
+    # adjacency with source degree, built once and reused per iteration
+    adj = compact_blocks(
+        compact_blocks(directed).join(
+            compact_blocks(degrees),
+            join_type="inner",
+            on=("u",),
+            num_partitions=nparts,
+        )
+    ).materialize()
+
+    init = 1.0 / n_nodes
+    ranks = degrees.map_batches(
+        lambda t, _r=init: pa.table(
+            {"u": t["u"], "r": pa.array([_r] * t.num_rows, pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(num_iters):
+        rtab = compact_blocks(
+            ranks.map_batches(
+                lambda t: pa.table({"u": t["u"], "r": t["r"]}),
+                batch_format="pyarrow",
+            )
+        )
+        msgs = adj.join(
+            rtab, join_type="inner", on=("u",), num_partitions=nparts
+        )
+
+        def msg_partials(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            w = pc.divide(t["r"], pc.cast(t["deg"], pa.float64()))
+            return (
+                pa.table({"u": t["v"], "w": w})
+                .group_by("u")
+                .aggregate([("w", "sum")])
+                .rename_columns(["u", "w"])
+            )
+
+        summed = (
+            pre_shuffle(
+                compact_blocks(msgs).map_batches(
+                    msg_partials, batch_format="pyarrow"
+                )
+            )
+            .groupby("u")
+            .aggregate(Sum("w", alias_name="w"))
+        )
+        ranks = summed.map_batches(
+            lambda t, _tp=teleport, _d=damping: pa.table(
+                {
+                    "u": t["u"],
+                    "r": pa.array(
+                        _tp + _d * t["w"].to_numpy(zero_copy_only=False),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "entity_id": t["u"],
+                "pr": pa.array(
+                    np.round(t["r"].to_numpy(zero_copy_only=False), 8),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def pagerank_local(edges, num_iters: int = 3, damping: float = 0.85) -> dict:
+    """Driver-side twin for tests."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    if n == 0:
+        return {}
+    r = {k: 1.0 / n for k in adj}
+    for _ in range(num_iters):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1.0 - damping) / n + damping * s
+        r = nxt
+    return {k: round(v, 8) for k, v in r.items()}

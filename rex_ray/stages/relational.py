@@ -23,6 +23,7 @@ import ray
 
 from rex_ray.functions.blocks import (
     arrow_block,
+    compact_blocks,
     default_concurrency,
     pre_shuffle,
 )
@@ -214,7 +215,10 @@ def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
         .aggregate(Count(alias_name="_n"))
         .select_columns([on])
     )
-    return candidates.join(
-        distinct, join_type="inner", on=(on,),
+    # compact both sides: the Bloom prefilter can emit empty first
+    # blocks and `distinct` is a groupby output — either would lose the
+    # join's schema broadcast (functions/blocks.compact_blocks).
+    return compact_blocks(candidates).join(
+        compact_blocks(distinct), join_type="inner", on=(on,),
         num_partitions=num_partitions or default_join_partitions(),
     )
