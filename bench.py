@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "ta_fingerprints",               # winnowing (map-side only)
     "dd_jaccard_pairs",              # exact prefix-filtered Jaccard
     "ta_source_cap",                 # associative per-key cap
+    "kg_entity_triangles",           # graph: wedge-closure join
+    "kg_entity_pagerank",            # graph: 3 Pregel supersteps
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

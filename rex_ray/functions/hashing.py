@@ -313,3 +313,47 @@ class IntBloomFilter:
         assert self.m == other.m and self.k == other.k
         self.bits |= other.bits
         return self
+
+
+def hll_bucket_rho_batch(values: List[str], p: int = 10):
+    """HyperLogLog register coordinates for a batch of strings:
+    (bucket, rho) per value, md5-based so a DuckDB oracle reproduces
+    them bit-exactly (Flajolet et al., AofA 2007).
+
+    bucket = low ``p`` bits of the md5-top-64 hash; rho = 1 + count of
+    TRAILING zeros of the remaining 64-p bits (the trailing-zero
+    variant keeps the SQL side pure integer ops:
+    ``bit_count(~rest & (rest - 1))`` — no float log in the oracle).
+    All-zero rest caps at rho = 64 - p + 1.  Registers are merged with
+    MAX, which is associative — per-batch partial maxima then one tiny
+    groupby of at most 2^p rows."""
+    h = md5_hash64_batch(values)
+    m = np.uint64((1 << p) - 1)
+    bucket = (h & m).astype(np.int64)
+    rest = h >> np.uint64(p)
+    low = rest & (np.uint64(0) - rest)  # lowest set bit (0 if rest==0)
+    # low is a power of two <= 2^(64-p), exactly representable in f64
+    tz = np.where(
+        rest == 0,
+        64 - p,
+        np.log2(np.maximum(low, np.uint64(1)).astype(np.float64)),
+    ).astype(np.int64)
+    return bucket, tz + 1
+
+
+def hll_estimate(max_rho_by_bucket, p: int = 10) -> float:
+    """Standard HLL estimate from a {bucket: max_rho} mapping (absent
+    buckets count as register 0), with the small-range linear-counting
+    correction."""
+    m = 1 << p
+    n_zero = m - len(max_rho_by_bucket)
+    s = n_zero * 1.0  # 2^-0 for empty registers
+    for r in max_rho_by_bucket.values():
+        s += 2.0 ** (-r)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / s
+    if e <= 2.5 * m and n_zero:
+        import math
+
+        e = m * math.log(m / n_zero)
+    return e

@@ -338,6 +338,17 @@ def q_ta_source_cap(sf_dir: str):
     )
 
 
+def q_ta_hll_registers(sf_dir: str):
+    """HyperLogLog register table (bucket, max_rho) for distinct-token
+    cardinality — exact, deterministic, oracle-checkable even though
+    the cardinality it encodes is an estimate."""
+    from rex_ray.stages.textstats import distinct_word_hll_registers
+
+    return distinct_word_hll_registers(
+        _read(sf_dir, "documents", columns=["text"]), p=10
+    )
+
+
 def q_ta_doc_stats(sf_dir: str):
     from rex_ray.stages.textstats import DocStats
 
@@ -775,6 +786,26 @@ FROM c ASOF JOIN v
   ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
 """
 
+EXT_SQL["ta_hll_registers"] = """
+WITH toks AS (
+    SELECT u.tok
+    FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+    WHERE u.tok != ''
+),
+hs AS (
+    SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+reg AS (
+    SELECT CAST(h % 1024 AS BIGINT) AS bucket,
+           CAST(h >> 10 AS BIGINT) AS r
+    FROM hs
+)
+SELECT bucket,
+       max(CASE WHEN r = 0 THEN 55
+                ELSE bit_count((~r) & (r - 1)) + 1 END) AS max_rho
+FROM reg GROUP BY bucket
+"""
+
 EXT_SQL["dd_simhash"] = f"""
 WITH toks AS (
     SELECT doc_id, u.tok
@@ -924,6 +955,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_fingerprints": q_ta_fingerprints,
     "ta_source_cap": q_ta_source_cap,
     "ta_inverted_index": q_ta_inverted_index,
+    "ta_hll_registers": q_ta_hll_registers,
     "ta_doc_stats": q_ta_doc_stats,
     "ta_langid_confusion": q_ta_langid_confusion,
     "ta_quality": q_ta_quality,

@@ -211,3 +211,40 @@ def inverted_index(docs_ds, min_df: int = 1):
 
     slim = pre_shuffle(docs_ds.map_batches(pairs, batch_format="pandas"))
     return slim.groupby("token").map_groups(merge, batch_format="pandas")
+
+
+def distinct_word_hll_registers(docs_ds, p: int = 10):
+    """HyperLogLog register table for the corpus's distinct-token
+    cardinality: (bucket, max_rho), at most 2^p rows.
+
+    The 100 TB shape: each batch folds its tokens into <= 2^p partial
+    registers (a per-batch groupby-max — constant output size no
+    matter how much text went in), then ONE groupby-max shuffle of
+    O(batches * 2^p) tiny integer rows merges them.  Nothing about the
+    corpus size ever leaves the mappers; the register table is exact
+    and deterministic (md5-based), so it is oracle-checkable even
+    though the cardinality it encodes is an estimate —
+    ``functions/hashing.hll_estimate`` turns it into the number.
+    """
+    from ray.data.aggregate import Max
+
+    from rex_ray.functions import hashing as H
+
+    def partial(batch: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        toks = batch["text"].str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        if not len(toks):
+            return pa.schema(
+                [("bucket", pa.int64()), ("max_rho", pa.int64())]
+            ).empty_table()
+        bucket, rho = H.hll_bucket_rho_batch(toks.tolist(), p=p)
+        df = pd.DataFrame({"bucket": bucket, "max_rho": rho})
+        g = df.groupby("bucket", sort=False)["max_rho"].max().reset_index()
+        return arrow_block(
+            g, schema=pa.schema([("bucket", pa.int64()), ("max_rho", pa.int64())])
+        )
+
+    part = pre_shuffle(docs_ds.map_batches(partial, batch_format="pandas"))
+    return part.groupby("bucket").aggregate(Max("max_rho", alias_name="max_rho"))

@@ -251,3 +251,60 @@ def test_dup_clusters_match_local_union_find(docs_ds):
     # every cluster keeps exactly its min member
     reps = {c for c in expected.values()}
     assert reps <= surv
+
+
+def test_hll_registers_and_estimate():
+    from rex_ray.functions.hashing import (
+        hll_bucket_rho_batch,
+        hll_estimate,
+        md5_hash64_batch,
+    )
+    import numpy as np
+
+    words = [f"w{i}" for i in range(5000)]
+    bucket, rho = hll_bucket_rho_batch(words, p=10)
+    # registers computed locally == merged per-chunk maxima (associative)
+    reg = {}
+    for b, r in zip(bucket, rho):
+        reg[b] = max(reg.get(b, 0), r)
+    reg2 = {}
+    for lo in range(0, 5000, 333):  # arbitrary chunking
+        b2, r2 = hll_bucket_rho_batch(words[lo:lo + 333], p=10)
+        for b, r in zip(b2, r2):
+            reg2[b] = max(reg2.get(b, 0), r)
+    assert reg == reg2
+    est = hll_estimate(reg, p=10)
+    assert abs(est - 5000) / 5000 < 0.1  # ~3.25% std error at m=1024
+    # rho definition: 1 + trailing zeros of the post-bucket bits
+    h = md5_hash64_batch(["w0"])[0]
+    rest = int(h) >> 10
+    tz = 0
+    while rest and not (rest & 1):
+        rest >>= 1
+        tz += 1
+    b0, r0 = hll_bucket_rho_batch(["w0"], p=10)
+    assert b0[0] == int(h) & 1023 and r0[0] == tz + 1
+
+
+def test_hll_stage_matches_local(ray_session):
+    import ray.data as rd
+    from rex_ray.functions.hashing import hll_bucket_rho_batch
+    from rex_ray.stages.textstats import distinct_word_hll_registers
+
+    docs = [
+        {"text": "alpha beta gamma"},
+        {"text": "beta  gamma delta"},   # double space -> empty token dropped
+        {"text": "epsilon alpha"},
+    ]
+    got = {
+        r["bucket"]: r["max_rho"]
+        for r in distinct_word_hll_registers(
+            rd.from_items(docs), p=10
+        ).take_all()
+    }
+    toks = [t for d in docs for t in d["text"].split(" ") if t]
+    b, r = hll_bucket_rho_batch(toks, p=10)
+    want = {}
+    for bb, rr in zip(b, r):
+        want[bb] = max(want.get(bb, 0), rr)
+    assert got == want
