@@ -349,6 +349,17 @@ def q_ta_hll_registers(sf_dir: str):
     )
 
 
+def q_ta_packed_bins(sf_dir: str):
+    """Sequence packing: exclusive token-prefix scan over doc_id order,
+    chunked into 2048-token bins (concat-then-chunk layout)."""
+    from rex_ray.stages.pack import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        window=2048,
+    )
+
+
 def q_ta_doc_stats(sf_dir: str):
     from rex_ray.stages.textstats import DocStats
 
@@ -786,6 +797,28 @@ FROM c ASOF JOIN v
   ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
 """
 
+EXT_SQL["ta_packed_bins"] = """
+WITH counted AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens
+    FROM documents
+),
+scanned AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS prefix
+    FROM counted
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix AS BIGINT) AS prefix,
+       CAST(prefix // 2048 AS BIGINT) AS bin_id,
+       CAST(prefix % 2048 AS BIGINT) AS bin_offset
+FROM scanned
+"""
+
 EXT_SQL["ta_hll_registers"] = """
 WITH toks AS (
     SELECT u.tok
@@ -956,6 +989,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_source_cap": q_ta_source_cap,
     "ta_inverted_index": q_ta_inverted_index,
     "ta_hll_registers": q_ta_hll_registers,
+    "ta_packed_bins": q_ta_packed_bins,
     "ta_doc_stats": q_ta_doc_stats,
     "ta_langid_confusion": q_ta_langid_confusion,
     "ta_quality": q_ta_quality,
