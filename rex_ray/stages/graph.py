@@ -56,6 +56,14 @@ def _undirected_edges(edges_ds):
     return dedup
 
 
+def _graph_join_partitions(n_edges: int) -> int:
+    """Size join parallelism to the graph: ~50k edges per partition,
+    clamped to [2, default_join_partitions()]."""
+    from rex_ray.stages.relational import default_join_partitions
+
+    return max(2, min(default_join_partitions(), n_edges // 50000 + 1))
+
+
 def triangle_counts(edges_ds, num_partitions: int = None):
     """Per-node triangle participation over an undirected edge list
     (columns ``a``, ``b``).  Returns (entity_id, n_triangles), nodes in
@@ -69,13 +77,16 @@ def triangle_counts(edges_ds, num_partitions: int = None):
     """
     from ray.data.aggregate import Count, Sum
 
-    from rex_ray.stages.relational import default_join_partitions
 
-    nparts = num_partitions or default_join_partitions()
     # compact_blocks on every join input below: the dedup groupby /
     # prior joins emit empty partition blocks first, which would lose
     # the join's schema broadcast (see functions/blocks.compact_blocks)
     edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
+    # join partitions sized to the EDGE data, not the cluster: each
+    # hash-shuffle partition is an aggregator actor, and a 32-actor
+    # pool per join is pure startup overhead on a small graph (pass
+    # num_partitions explicitly at real scale)
+    nparts = num_partitions or _graph_join_partitions(edges.count())
 
     _empty_out = pa.schema(
         [("entity_id", pa.string()), ("n_triangles", pa.int64())]
@@ -237,10 +248,8 @@ def pagerank(edges_ds, num_iters: int = 3, damping: float = 0.85,
     """
     from ray.data.aggregate import Sum
 
-    from rex_ray.stages.relational import default_join_partitions
-
-    nparts = num_partitions or default_join_partitions()
     edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
+    nparts = num_partitions or _graph_join_partitions(edges.count())
 
     out_schema = pa.schema([("entity_id", pa.string()), ("pr", pa.float64())])
     if edges.count() == 0:
