@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ta_source_cap",                 # associative per-key cap
     "kg_entity_triangles",           # graph: wedge-closure join
     "kg_entity_pagerank",            # graph: 3 Pregel supersteps
+    "ta_packed_bins",                # distributed prefix-sum scan
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

@@ -26,7 +26,7 @@ import pandas as pd
 
 from ray.data.aggregate import Min
 
-from rex_ray.functions.blocks import arrow_block
+from rex_ray.functions.blocks import arrow_block, compact_blocks
 
 
 def cc_local(
@@ -92,8 +92,11 @@ def cc_label_propagation(nodes_ds, edges_ds, max_iter: int = 20):
 
     for _ in range(max_iter):
         # label of src flows to dst
-        msgs = both.join(
-            labels.map_batches(
+        # compact both join inputs: labels is a groupby output after
+        # iteration 1, and an empty first block would lose the join's
+        # schema broadcast (functions/blocks.compact_blocks)
+        msgs = compact_blocks(both).join(
+            compact_blocks(labels).map_batches(
                 lambda b: arrow_block(b.rename(columns={"node": "src"})),
                 batch_format="pandas",
             ),
@@ -114,8 +117,8 @@ def cc_label_propagation(nodes_ds, edges_ds, max_iter: int = 20):
         )
         # fixpoint check: any label changed?
         changed = (
-            new_labels.join(
-                labels.map_batches(
+            compact_blocks(new_labels).join(
+                compact_blocks(labels).map_batches(
                     lambda b: b.rename(columns={"canonical": "old"}),
                     batch_format="pandas",
                 ),

@@ -94,7 +94,12 @@ def default_join_partitions() -> int:
 
 def hash_join(left, right, on: str, num_partitions: int = None,
               join_type: str = "inner"):
-    """Large-large hash-partitioned join via ``Dataset.join``."""
+    """Large-large hash-partitioned join via ``Dataset.join``.
+
+    If either input's lineage contains a shuffle (join/groupby) or a
+    selective filter, wrap it in ``functions.blocks.compact_blocks``
+    first — an empty first block loses the join's schema broadcast on
+    Ray 2.49 (see compact_blocks docstring)."""
     return left.join(
         right,
         join_type=join_type,
