@@ -19,8 +19,6 @@ its edges point INTO it.
 
 from __future__ import annotations
 
-from itertools import combinations
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -145,14 +143,15 @@ def triangle_counts(edges_ds, num_partitions: int = None):
     # wedges per source: for u with oriented neighbors {v1..vk}, every
     # unordered neighbor pair is a wedge candidate keyed like an edge
     def wedges(g: pd.DataFrame) -> pa.Table:
-        vs = sorted(g["v"])
+        vs = np.sort(g["v"].to_numpy(dtype="U"))
         if len(vs) < 2:
             return pa.table(
                 {"u": pa.array([], pa.string()),
                  "k": pa.array([], pa.string())}
             )
         u = g["u"].iloc[0]
-        ks = [f"{x}\x1f{y}" for x, y in combinations(vs, 2)]
+        i, j = np.triu_indices(len(vs), k=1)
+        ks = np.char.add(np.char.add(vs[i], "\x1f"), vs[j])
         return pa.table({"u": pa.array([u] * len(ks)), "k": pa.array(ks)})
 
     # materialize: wedge rows are the shuffle input of the closure join
@@ -169,21 +168,20 @@ def triangle_counts(edges_ds, num_partitions: int = None):
 
     # close: wedge (v,w) is a triangle iff (v,w) is an edge (canonical
     # a<b order matches the sorted wedge key by construction)
-    edge_keys = edges.map_batches(
-        lambda t: pa.table(
+    def edge_key_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
             {
-                "k": pa.array(
-                    [
-                        f"{x}\x1f{y}"
-                        for x, y in zip(
-                            t["a"].to_pylist(), t["b"].to_pylist()
-                        )
-                    ]
+                "k": pc.binary_join_element_wise(
+                    t["a"].combine_chunks().cast(pa.string()),
+                    t["b"].combine_chunks().cast(pa.string()),
+                    "\x1f",
                 )
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    edge_keys = edges.map_batches(edge_key_rows, batch_format="pyarrow")
     closed = wedge_ds.join(
         compact_blocks(edge_keys),
         join_type="inner",
@@ -193,14 +191,14 @@ def triangle_counts(edges_ds, num_partitions: int = None):
 
     # explode the 3 corners, partial-count, final shuffle
     def corners(t: pa.Table) -> pa.Table:
-        us = t["u"].to_pylist()
-        nodes = list(us)
-        for k in t["k"].to_pylist():
-            v, w = k.split("\x1f")
-            nodes.append(v)
-            nodes.append(w)
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(t["k"].combine_chunks(), "\x1f")
+        nodes = pa.concat_arrays(
+            [t["u"].combine_chunks(), parts.flatten()]
+        )
         return (
-            pa.table({"entity_id": pa.array(nodes, pa.string())})
+            pa.table({"entity_id": nodes.cast(pa.string())})
             .group_by("entity_id")
             .aggregate([("entity_id", "count")])
             .rename_columns(["entity_id", "n_triangles"])

@@ -22,22 +22,26 @@ from rex_ray.pipelines import spec
 
 def tag_docs_batch(batch: pd.DataFrame) -> pa.Table:
     """(doc_id, text) -> (doc_id, tokens: list<str>, tags: list<str>),
-    BIO tags from the gazetteer (B-TYPE at each hit, O elsewhere)."""
-    gaz = spec.GAZETTEER
-    doc_ids: List = []
-    toks_col: List[List[str]] = []
-    tags_col: List[List[str]] = []
-    for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        tokens = text.split(" ")
-        tags = [
-            f"B-{gaz[t]}" if t in gaz else "O" for t in tokens
-        ]
-        doc_ids.append(doc_id)
-        toks_col.append(tokens)
-        tags_col.append(tags)
+    BIO tags from the gazetteer (B-TYPE at each hit, O elsewhere).
+
+    Vectorized like ``extract._explode_tokens``: split + explode, one
+    C-level ``Series.map`` through the gazetteer for every token in the
+    batch, then regroup to per-doc lists — no per-token Python."""
+    gaz = pd.Series(spec.GAZETTEER)
+    toks = batch["text"].str.split(" ")
+    flat = toks.explode()
+    hit = flat.map(gaz)
+    tags_flat = pd.Series(
+        ("B-" + hit).where(hit.notna(), "O"), index=flat.index
+    )
+    tags = tags_flat.groupby(level=0).agg(list)
     return arrow_block(
         pd.DataFrame(
-            {"doc_id": doc_ids, "tokens": toks_col, "tags": tags_col}
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "tokens": toks.to_numpy(),
+                "tags": tags.reindex(batch.index).to_numpy(),
+            }
         )
     )
 
