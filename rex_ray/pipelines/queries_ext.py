@@ -360,6 +360,15 @@ def q_ta_packed_bins(sf_dir: str):
     )
 
 
+def q_ta_dataset_splits(sf_dir: str):
+    """Deterministic md5-bucket train/val/test assignment (80/10/10)."""
+    from rex_ray.stages.relational import hash_split
+
+    return hash_split(
+        _read(sf_dir, "documents", columns=["doc_id"]), id_col="doc_id"
+    )
+
+
 def q_ta_doc_stats(sf_dir: str):
     from rex_ray.stages.textstats import DocStats
 
@@ -797,6 +806,19 @@ FROM c ASOF JOIN v
   ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
 """
 
+EXT_SQL["ta_dataset_splits"] = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 100 AS b
+    FROM documents
+)
+"""
+
 EXT_SQL["ta_packed_bins"] = """
 WITH counted AS (
     SELECT doc_id,
@@ -990,6 +1012,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_inverted_index": q_ta_inverted_index,
     "ta_hll_registers": q_ta_hll_registers,
     "ta_packed_bins": q_ta_packed_bins,
+    "ta_dataset_splits": q_ta_dataset_splits,
     "ta_doc_stats": q_ta_doc_stats,
     "ta_langid_confusion": q_ta_langid_confusion,
     "ta_quality": q_ta_quality,

@@ -227,3 +227,32 @@ def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
         compact_blocks(distinct), join_type="inner", on=(on,),
         num_partitions=num_partitions or default_join_partitions(),
     )
+
+
+def hash_split(ds, id_col: str, ratios=(80, 10, 10),
+               names=("train", "val", "test")):
+    """Deterministic dataset split assignment: md5(id) % 100 routed by
+    cumulative ``ratios`` — the distributed, reproducible version of
+    the reference's ratio splitter (rex/utils/segmentation.py split):
+    assignment is a pure function of the id, so it is stable across
+    runs, cluster sizes, and block boundaries, and any shard can be
+    re-split independently (no global shuffle, no driver state).
+    Output: input columns + ``split``."""
+    import hashlib
+
+    assert sum(ratios) == 100 and len(ratios) == len(names)
+    cuts = np.cumsum(ratios)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = np.asarray(
+            [
+                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+                for v in ids
+            ]
+        )
+        idx = np.searchsorted(cuts, h, side="right")
+        split = np.asarray(names, dtype=object)[idx]
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -58,3 +58,22 @@ def test_pack_sequences_bins_and_offsets():
     assert out[2]["bin_offset"] == 3          # straddles bins 0..2
     assert out[3]["prefix"] == 9 and out[3]["bin_id"] == 2
     assert out[3]["bin_offset"] == 1
+
+
+def test_hash_split_deterministic_and_ratioed():
+    from rex_ray.stages.relational import hash_split
+
+    rows = [{"doc_id": i} for i in range(2000)]
+    out = hash_split(rd.from_items(rows), id_col="doc_id").take_all()
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # stable across runs and block layouts: a re-split of any subset
+    # agrees with the full-set assignment
+    sub = hash_split(
+        rd.from_items(rows[500:600]), id_col="doc_id"
+    ).take_all()
+    full = {r["doc_id"]: r["split"] for r in out}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
