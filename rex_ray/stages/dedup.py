@@ -20,7 +20,6 @@ from rex_ray.functions import hashing as H
 from rex_ray.functions import text as T
 from rex_ray.functions.blocks import (
     arrow_block,
-    default_concurrency,
     pre_shuffle,
 )
 

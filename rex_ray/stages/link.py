@@ -18,7 +18,7 @@ part, and a learned entity-embedding table drops into the same matrix.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd

@@ -9,8 +9,6 @@ spans)."""
 
 from __future__ import annotations
 
-from typing import List
-
 import pandas as pd
 import pyarrow as pa
 

@@ -34,7 +34,6 @@ import pyarrow as pa
 import ray
 
 from rex_ray.functions.blocks import fixed_list_column
-from rex_ray.pipelines import spec
 from rex_ray.stages.extract import (
     TripleExtractor,
     _doc_id_type,

@@ -219,3 +219,35 @@ def test_prefix_filter_bound_sound(ids, threshold):
     if rest:
         j = len(rest) / len(A)
         assert j < threshold
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 200)),
+        min_size=0, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(2, 9),
+)
+@settings(max_examples=20, deadline=None)
+def test_prefix_sum_bucket_invariance(rows, num_buckets):
+    """The distributed scan's result is independent of bucket count and
+    row order: always equals the sequential cumsum over sorted keys."""
+    import ray.data as rd
+
+    from rex_ray.stages.pack import ordered_prefix_sum
+
+    if not rows:
+        return
+    ds = rd.from_items(
+        [{"doc_id": k, "n_tokens": v} for k, v in rows]
+    )
+    got = {
+        r["doc_id"]: r["prefix"]
+        for r in ordered_prefix_sum(
+            ds, "doc_id", "n_tokens", num_buckets=num_buckets
+        ).take_all()
+    }
+    run = 0
+    for k, v in sorted(rows):
+        assert got[k] == run
+        run += v
