@@ -216,6 +216,24 @@ def q_kg_entity_pagerank(sf_dir: str):
     return pagerank(edges, num_iters=3, damping=0.85)
 
 
+def q_kg_edge_pmi(sf_dir: str):
+    """PMI association weight per co-occurring canonical entity pair,
+    support-weighted over the deduped triple store."""
+    import pyarrow as pa
+
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.graph import edge_pmi
+
+    store = kg.triple_store_from_text_docs(_docs(sf_dir))
+    pairs = store.map_batches(
+        lambda t: pa.table(
+            {"a": t["subj_id"], "b": t["obj_id"], "support": t["support"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return edge_pmi(pairs, weight_col="support")
+
+
 def q_kg_parity_prf(sf_dir: str):
     """Triple-set P/R/F1 of the distributed extractor vs the
     independent straight-line gold implementation (north_rule's
@@ -798,6 +816,34 @@ pr3 AS (
 SELECT u AS entity_id, ROUND(r, 8) AS pr FROM pr3
 """
 
+_SQL["kg_edge_pmi"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+occ AS (
+    SELECT least(cs.canonical_id, co.canonical_id) AS a,
+           greatest(cs.canonical_id, co.canonical_id) AS b
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    WHERE cs.canonical_id != co.canonical_id
+),
+cxy AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS c_xy FROM occ GROUP BY a, b
+),
+nodes AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT a AS node FROM occ UNION ALL SELECT b FROM occ
+    ) GROUP BY node
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM occ)
+SELECT cxy.a AS entity_a, cxy.b AS entity_b, c_xy AS n_cooc,
+       ROUND(LN(CAST(c_xy * (SELECT n FROM nn) AS DOUBLE)
+                / CAST(na.c * nb.c AS DOUBLE)), 8) AS pmi
+FROM cxy
+JOIN nodes na ON cxy.a = na.node
+JOIN nodes nb ON cxy.b = nb.node
+"""
+
 _SQL["kg_entity_degrees"] = f"""
 WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()},
@@ -956,6 +1002,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_entity_degrees": q_kg_entity_degrees,
     "kg_entity_triangles": q_kg_entity_triangles,
     "kg_entity_pagerank": q_kg_entity_pagerank,
+    "kg_edge_pmi": q_kg_edge_pmi,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_parity_prf": q_kg_parity_prf,
     "kg_feature_rows": q_kg_feature_rows,

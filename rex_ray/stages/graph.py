@@ -379,3 +379,131 @@ def pagerank_local(edges, num_iters: int = 3, damping: float = 0.85) -> dict:
             nxt[v] = (1.0 - damping) / n + damping * s
         r = nxt
     return {k: round(v, 8) for k, v in r.items()}
+
+
+def edge_pmi(pairs_ds, num_partitions: int = None,
+             weight_col: str = None):
+    """Pointwise mutual information per co-occurring entity pair:
+    ``pmi = ln((c_xy * n) / (c_x * c_y))`` over OCCURRENCES (input rows
+    with columns ``a``, ``b``, duplicates = one co-occurrence each, or
+    pre-aggregated with an integer ``weight_col`` of occurrence counts;
+    loops dropped, pairs canonicalized a < b).  The standard edge
+    weighting for association strength in a co-occurrence graph
+    (Church & Hanks, CL 1990).
+
+    Output: (entity_a, entity_b, n_cooc, pmi), pmi rounded to 8
+    decimals.  Determinism contract with the SQL oracle: the ratio is
+    ONE double division of two exact int64 products, and ln of the
+    same double on both engines — the only cross-engine wobble is a
+    possible last-ulp in ln, absorbed by the rounding.
+
+    Dataflow: canonicalize per occurrence (map) -> pair counts + node
+    counts (two partial-agg groupbys) -> attach node counts to pair
+    rows via two hash joins (compacted inputs) -> vectorized pmi.
+    """
+    from ray.data.aggregate import Sum
+
+    _W_SCHEMA = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("w", pa.int64())]
+    )
+
+    def canon_keep_dups(t: pa.Table) -> pa.Table:
+        a = np.asarray([str(x) for x in t["a"].to_pylist()], dtype=object)
+        b = np.asarray([str(x) for x in t["b"].to_pylist()], dtype=object)
+        w = (
+            t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if weight_col is not None
+            else np.ones(len(a), dtype=np.int64)
+        )
+        keep = a != b
+        a, b, w = a[keep], b[keep], w[keep]
+        return arrow_block(
+            pd.DataFrame(
+                {"a": np.minimum(a, b), "b": np.maximum(a, b), "w": w}
+            ),
+            schema=_W_SCHEMA,
+        )
+
+    pairs = pairs_ds.map_batches(
+        canon_keep_dups, batch_format="pyarrow"
+    ).materialize()
+    n_total = int(pairs.sum("w") or 0)
+
+    out_schema = pa.schema(
+        [
+            ("entity_a", pa.string()),
+            ("entity_b", pa.string()),
+            ("n_cooc", pa.int64()),
+            ("pmi", pa.float64()),
+        ]
+    )
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["a", "b"])
+            .aggregate([("w", "sum")])
+            .rename_columns(["a", "b", "c_xy"])
+        )
+
+    edge_counts = compact_blocks(
+        pre_shuffle(pairs.map_batches(pair_partials, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(Sum("c_xy", alias_name="c_xy"))
+    ).materialize()
+
+    def node_partials(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        w = pa.concat_arrays(
+            [t["w"].combine_chunks(), t["w"].combine_chunks()]
+        )
+        return (
+            pa.table({"node": ids, "c": w})
+            .group_by("node")
+            .aggregate([("c", "sum")])
+            .rename_columns(["node", "c"])
+        )
+
+    node_counts = (
+        pre_shuffle(pairs.map_batches(node_partials, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    nparts = num_partitions or _graph_join_partitions(n_total)
+    ca = compact_blocks(node_counts).map_batches(
+        lambda t: pa.table({"a": t["node"], "c_a": t["c"]}),
+        batch_format="pyarrow",
+    )
+    cb = compact_blocks(node_counts).map_batches(
+        lambda t: pa.table({"b": t["node"], "c_b": t["c"]}),
+        batch_format="pyarrow",
+    )
+    with_counts = compact_blocks(
+        edge_counts.join(ca, join_type="inner", on=("a",),
+                         num_partitions=nparts)
+    ).join(cb, join_type="inner", on=("b",), num_partitions=nparts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cxy = t["c_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = t["c_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t["c_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = (cxy * n_total).astype(np.float64) / (cx * cy).astype(
+            np.float64
+        )
+        pmi = np.round(np.log(ratio), 8)
+        return pa.table(
+            {
+                "entity_a": t["a"],
+                "entity_b": t["b"],
+                "n_cooc": pa.array(cxy, pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return with_counts.map_batches(finish, batch_format="pyarrow")

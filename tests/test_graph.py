@@ -121,3 +121,46 @@ def test_pagerank_symmetric_star():
     assert got["hub"] > max(v for k, v in got.items() if k != "hub")
     leaf_vals = {v for k, v in got.items() if k != "hub"}
     assert len(leaf_vals) == 1  # symmetry: all leaves equal
+
+
+def test_edge_pmi_matches_local():
+    import math
+
+    from rex_ray.stages.graph import edge_pmi
+
+    rows = [("x", "y"), ("x", "y"), ("x", "z"), ("y", "z"), ("z", "x")]
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["n_cooc"], r["pmi"])
+        for r in edge_pmi(_edges_ds(rows)).take_all()
+    }
+    # occurrences: xy:2, xz:2 (xz + zx), yz:1 -> n=5
+    # node counts: x:4, y:3, z:3
+    n = 5
+    want = {
+        ("x", "y"): (2, round(math.log((2 * n) / (4 * 3)), 8)),
+        ("x", "z"): (2, round(math.log((2 * n) / (4 * 3)), 8)),
+        ("y", "z"): (1, round(math.log((1 * n) / (3 * 3)), 8)),
+    }
+    assert got == want
+
+
+def test_edge_pmi_weighted_equals_exploded():
+    from rex_ray.stages.graph import edge_pmi
+
+    occ = [("a", "b")] * 3 + [("b", "c")] * 2 + [("a", "c")]
+    plain = {
+        (r["entity_a"], r["entity_b"]): (r["n_cooc"], r["pmi"])
+        for r in edge_pmi(_edges_ds(occ)).take_all()
+    }
+    weighted_rows = rd.from_items(
+        [
+            {"a": "a", "b": "b", "w": 3},
+            {"a": "c", "b": "b", "w": 2},  # reversed: canonicalized
+            {"a": "a", "b": "c", "w": 1},
+        ]
+    )
+    weighted = {
+        (r["entity_a"], r["entity_b"]): (r["n_cooc"], r["pmi"])
+        for r in edge_pmi(weighted_rows, weight_col="w").take_all()
+    }
+    assert plain == weighted
