@@ -529,6 +529,17 @@ def q_mm_decode_features(sf_dir: str):
     return media_features(il.media_spans(inter).drop_columns(["offset"]))
 
 
+def q_mm_frame_samples(sf_dir: str):
+    """Stride-16 unit sampling per media span (frame/window/tile
+    fan-out) — the bounded-batch decode shape for media pipelines."""
+    from rex_ray.sources import interleaved as il
+    from rex_ray.stages.multimodal import frame_samples
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    inter = il.synthesize_interleaved(docs)
+    return frame_samples(il.media_spans(inter).drop_columns(["offset"]))
+
+
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
@@ -978,6 +989,32 @@ FROM sims
 QUALIFY rank <= {ANN_K}
 """
 
+EXT_SQL["mm_frame_samples"] = """
+WITH stats AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n, 4 + doc_id % 4 AS c
+    FROM documents
+),
+m AS (SELECT doc_id, ((n + c - 1) // c) // 2 AS mcount FROM stats),
+media AS (
+    SELECT doc_id, i + 1 AS mi
+    FROM m, LATERAL (SELECT unnest(range(mcount)) AS i)
+),
+probed AS (
+    SELECT doc_id, mi,
+           'media://' || doc_id || '/' || mi AS media_ref,
+           CASE WHEN (doc_id + mi) % 2 = 0 THEN 'image' ELSE 'audio' END
+               AS kind,
+           1 + ('0x' || substr(md5('media://' || doc_id || '/' || mi),
+                               1, 8))::UBIGINT % 240 AS n_units
+    FROM media
+)
+SELECT printf('doc-%08d', doc_id) AS doc_id, media_ref, kind,
+       CAST(u.unit_idx AS BIGINT) AS unit_idx
+FROM probed, LATERAL (
+    SELECT unnest(range(0, CAST(n_units AS BIGINT), 16)) AS unit_idx
+) u
+"""
+
 EXT_SQL["mm_decode_features"] = """
 WITH stats AS (
     SELECT doc_id, len(string_split(text, ' ')) AS n, 4 + doc_id % 4 AS c
@@ -1028,4 +1065,5 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "mm_decode_features": q_mm_decode_features,
+    "mm_frame_samples": q_mm_frame_samples,
 }

@@ -82,3 +82,55 @@ def media_features(media_spans_ds, batch_size: int = 1024, concurrency=None):
         batch_size=batch_size,
         concurrency=concurrency or default_concurrency(),
     )
+
+
+class FrameSampleStub:
+    """(doc_id, kind, media_ref) -> one row per sampled unit index
+    (frame for video-like media, window for audio, tile for image):
+    (doc_id, media_ref, kind, unit_idx).
+
+    A real sampler probes the container for its unit count and decodes
+    only the selected units (that decode lives behind
+    :meth:`MediaFeatureStub.decode_real`'s sandbox boundary); here the
+    unit count is a deterministic fake probe — ``1 + md5(ref) % 240``
+    — so the fan-out PLUMBING is real and oracle-checkable: an
+    actor-pool flat-map whose output is one row per sampled unit, the
+    shape a decode stage downstream consumes at a bounded batch size.
+    """
+
+    def __init__(self, stride: int = 16, max_units: int = 240):
+        self.stride = stride
+        self.max_units = max_units
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        refs = batch["media_ref"]
+        n_units = refs.map(
+            lambda r: 1
+            + int(hashlib.md5(r.encode("utf-8")).hexdigest()[:8], 16)
+            % self.max_units
+        )
+        reps = ((n_units + self.stride - 1) // self.stride).astype(int)
+        idx = np.concatenate(
+            [np.arange(0, n, self.stride) for n in n_units]
+        ) if len(refs) else np.array([], dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].repeat(reps).to_numpy(),
+                "media_ref": refs.repeat(reps).to_numpy(),
+                "kind": batch["kind"].repeat(reps).to_numpy(),
+                "unit_idx": idx.astype(np.int64),
+            }
+        )
+        return out
+
+
+def frame_samples(media_ds, stride: int = 16, concurrency=None):
+    """Actor-pool unit-sampling fan-out over media spans."""
+    from rex_ray.functions.blocks import default_concurrency
+
+    return media_ds.map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pandas",
+        concurrency=concurrency or default_concurrency(),
+    )

@@ -122,3 +122,28 @@ def test_vectorized_synthesizer_equals_rowwise():
     # and on an empty batch (schema-stable)
     empty = t.slice(0, 0)
     assert il.synthesize_batch(empty).schema.equals(il.INTERLEAVED_SCHEMA)
+
+
+def test_frame_sample_stub_fanout(ray_session):
+    import hashlib
+
+    import pandas as pd
+
+    from rex_ray.stages.multimodal import FrameSampleStub
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d2"],
+            "kind": ["image", "audio"],
+            "media_ref": ["media://1/1", "media://2/1"],
+        }
+    )
+    out = FrameSampleStub(stride=16)(batch)
+    for ref in batch["media_ref"]:
+        n = 1 + int(hashlib.md5(ref.encode()).hexdigest()[:8], 16) % 240
+        want = list(range(0, n, 16))
+        got = out[out["media_ref"] == ref]["unit_idx"].tolist()
+        assert got == want
+    # empty batch keeps schema
+    empty = FrameSampleStub()(batch.iloc[0:0])
+    assert list(empty.columns) == ["doc_id", "media_ref", "kind", "unit_idx"]
