@@ -234,6 +234,306 @@ def q_kg_edge_pmi(sf_dir: str):
     return edge_pmi(pairs, weight_col="support")
 
 
+def _bucket_filter(docs_ds, lo: int, hi: int):
+    """Docs whose md5(doc_id) % 100 bucket falls in [lo, hi) — the same
+    deterministic, resume-stable routing as stages/relational.hash_split
+    (DuckDB computes the identical md5 bucket)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (
+                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+                for v in t["doc_id"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return t.filter(pa.array((b >= lo) & (b < hi)))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_kg_store_delta(sf_dir: str):
+    """Incremental triple-store update: the corpus is split into a BASE
+    slice (md5 doc buckets 0-1, the bootstrap store) and a DELTA
+    slice (buckets 2-99, a large newly-arrived increment); the query emits only the
+    delta-store triples whose (subj_id, pred, obj_id) key the base
+    store does not already hold — the append set of an incremental
+    run.  The anti-join is Bloom-prefiltered (stages/relational.
+    bloom_anti_join): already-known triples are dropped map-side and
+    only the genuinely-new sliver shuffles, so re-ingesting a crawl
+    increment costs ~O(delta), not O(store).  The canonical map is
+    global state built over the FULL corpus (the dictionary artifact
+    of the resumable flagship, pipelines/kg.py phase 0)."""
+    from rex_ray.pipelines import kg
+    from rex_ray.stages import aggregate as agg
+    from rex_ray.stages import extract, link
+    from rex_ray.stages.relational import bloom_anti_join
+
+    docs = _docs(sf_dir)
+    canonical = kg.build_canonical_map(docs)
+
+    def store_for(lo: int, hi: int):
+        part = _bucket_filter(docs, lo, hi)
+        linked = link.link_triples(
+            extract.extract_triples(part), canonical
+        )
+        return agg.dedup_triple_store(linked)
+
+    base_keys = store_for(0, 2).select_columns(
+        ["subj_id", "pred", "obj_id"]
+    )
+    # the delta store is consumed twice by the anti-join (Bloom-fail
+    # branch + exact-residual branch); it is already aggregated (small
+    # vs the corpus), so materialize once instead of re-extracting
+    delta_store = store_for(2, 100).materialize()
+    return bloom_anti_join(
+        delta_store, base_keys, on=("subj_id", "pred", "obj_id")
+    )
+
+
+def q_kg_predicate_signatures(sf_dir: str):
+    """Ontology/schema induction over the extracted triples: for each
+    predicate, the (subj_type, obj_type) signature distribution —
+    support count and share of the predicate's total — the standard
+    type-constraint statistic for KG cleaning (a triple whose type
+    pair is off-signature is a likely extraction error).  Dataflow:
+    per-batch partial counts -> one tiny (pred, types) shuffle -> a
+    second per-pred total aggregate joined back; share is emitted in
+    integer parts-per-billion via the same floor(x + 0.5) contract as
+    the money sums (to_cents), so the result hash-matches SQL with no
+    rounding-mode hazard."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rex_ray.functions.blocks import compact_blocks
+    from rex_ray.stages import extract
+    from rex_ray.stages.relational import (
+        default_join_partitions,
+        partial_groupby_sum,
+    )
+
+    tri = extract.extract_triples(_docs(sf_dir)).select_columns(
+        ["pred", "subj_type", "obj_type"]
+    )
+
+    def ones(df):
+        df = df.copy()
+        df["n"] = 1
+        return df
+
+    counts = partial_groupby_sum(
+        tri.map_batches(ones, batch_format="pandas"),
+        ["pred", "subj_type", "obj_type"],
+        {"n": "n"},
+    )
+    totals = partial_groupby_sum(
+        counts.select_columns(["pred", "n"]), ["pred"], {"n": "tot"}
+    )
+    joined = compact_blocks(counts).join(
+        compact_blocks(totals), join_type="inner", on=("pred",),
+        num_partitions=default_join_partitions(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = t["tot"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ppb = np.floor(n * 1000000000.0 / tot + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "pred": t["pred"],
+                "subj_type": t["subj_type"],
+                "obj_type": t["obj_type"],
+                "n": t["n"],
+                "share_ppb": pa.array(ppb, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_kg_two_hop_paths(sf_dir: str):
+    """Two-hop path composition over the materialized store: for every
+    predicate pair (p1, p2), the number of entity paths
+    a -p1-> x -p2-> b — the first step of path-pattern mining /
+    rule induction (AMIE-style) over the graph.  One self hash-join of
+    the store on the mid entity (the store is orders of magnitude
+    smaller than the corpus; joins are partition-sized to it), then a
+    tiny composition-count aggregate."""
+    import pyarrow as pa
+
+    from rex_ray.functions.blocks import compact_blocks, pre_shuffle
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.relational import default_join_partitions
+
+    from ray.data.aggregate import Sum
+
+    store = kg.triple_store_from_text_docs(_docs(sf_dir)).materialize()
+    left = store.map_batches(
+        lambda t: pa.table(
+            {"mid": t["obj_id"], "pred1": t["pred"], "src": t["subj_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    right = store.map_batches(
+        lambda t: pa.table(
+            {"mid": t["subj_id"], "pred2": t["pred"], "dst": t["obj_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    paths = compact_blocks(left).join(
+        compact_blocks(right), join_type="inner", on=("mid",),
+        num_partitions=default_join_partitions(),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["pred1", "pred2"])
+            .group_by(["pred1", "pred2"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["pred1", "pred2", "n_paths"])
+        )
+
+    return (
+        pre_shuffle(paths.map_batches(partials, batch_format="pyarrow"))
+        .groupby(["pred1", "pred2"])
+        .aggregate(Sum("n_paths", alias_name="n_paths"))
+    )
+
+
+def q_kg_negative_samples(sf_dir: str):
+    """Deterministic filtered negative sampling for KG-embedding
+    training (corrupt-tail protocol of TransE et al.): each store
+    triple yields K=2 candidates whose tail is replaced by the entity
+    at rank md5(subj|pred|obj|k) % n_entities in the SORTED distinct
+    entity vocabulary, and each candidate carries is_known = whether
+    the corrupted triple accidentally exists in the store (the filter
+    bit of 'filtered' evaluation).  The entity vocabulary is broadcast
+    worker-built (it is the embedding table the downstream trainer
+    holds anyway); the is_known flag is a left_outer marker join
+    against the store keys, not a driver-side set."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from rex_ray.functions.blocks import compact_blocks, pre_shuffle
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+    from rex_ray.stages.relational import default_join_partitions
+
+    K = 2
+    store = kg.triple_store_from_text_docs(_docs(sf_dir)).materialize()
+
+    def ent_partials(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["subj_id"].combine_chunks(), t["obj_id"].combine_chunks()]
+        )
+        return (
+            pa.table({"e": ids}).group_by("e").aggregate([])
+        )
+
+    ents_ds = (
+        pre_shuffle(store.map_batches(ent_partials, batch_format="pyarrow"))
+        .groupby("e")
+        .count()
+        .select_columns(["e"])
+    )
+    ents_ref = _worker_built_ref(
+        ents_ds,
+        lambda tables: np.array(
+            sorted(
+                set().union(
+                    *(
+                        t["e"].to_pylist()
+                        for t in tables
+                        if "e" in t.schema.names
+                    )
+                )
+            ),
+            dtype=object,
+        ),
+    )
+
+    def corrupt(t: pa.Table, _ref=ents_ref) -> pa.Table:
+        ents = _side_object(_ref)
+        n = len(ents)
+        subj = [str(x) for x in t["subj_id"].to_pylist()]
+        pred = [str(x) for x in t["pred"].to_pylist()]
+        obj = [str(x) for x in t["obj_id"].to_pylist()]
+        out = {
+            "subj_id": [], "pred": [], "obj_id": [], "k": [],
+            "neg_obj_id": [],
+        }
+        for s, p, o in zip(subj, pred, obj):
+            for k in range(K):
+                rk = (
+                    int(
+                        hashlib.md5(
+                            f"{s}|{p}|{o}|{k}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % n
+                )
+                out["subj_id"].append(s)
+                out["pred"].append(p)
+                out["obj_id"].append(o)
+                out["k"].append(k)
+                out["neg_obj_id"].append(ents[rk])
+        return pa.table(
+            {
+                "subj_id": pa.array(out["subj_id"], pa.string()),
+                "pred": pa.array(out["pred"], pa.string()),
+                "obj_id": pa.array(out["obj_id"], pa.string()),
+                "k": pa.array(out["k"], pa.int64()),
+                "neg_obj_id": pa.array(out["neg_obj_id"], pa.string()),
+            }
+        )
+
+    cand = store.map_batches(corrupt, batch_format="pyarrow")
+
+    known = store.map_batches(
+        lambda t: pa.table(
+            {
+                "subj_id": t["subj_id"],
+                "pred": t["pred"],
+                "neg_obj_id": t["obj_id"],
+                "_m": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = compact_blocks(cand).join(
+        compact_blocks(known), join_type="left_outer",
+        on=("subj_id", "pred", "neg_obj_id"),
+        num_partitions=default_join_partitions(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flag = pc.cast(pc.is_valid(t["_m"]), pa.int64())
+        return pa.table(
+            {
+                "subj_id": t["subj_id"],
+                "pred": t["pred"],
+                "obj_id": t["obj_id"],
+                "k": t["k"],
+                "neg_obj_id": t["neg_obj_id"],
+                "is_known": flag,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_kg_parity_prf(sf_dir: str):
     """Triple-set P/R/F1 of the distributed extractor vs the
     independent straight-line gold implementation (north_rule's
@@ -739,6 +1039,102 @@ GROUP BY 1, 2, 3
 _SQL["kg_triple_store"] = _TRIPLE_STORE_SQL
 _SQL["kg_triple_store_interleaved"] = _TRIPLE_STORE_SQL
 
+_SQL["kg_store_delta"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+bucket AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 100 AS b
+    FROM documents
+),
+base_keys AS (
+    SELECT DISTINCT cs.canonical_id AS subj_id, tri.pred,
+           co.canonical_id AS obj_id
+    FROM tri
+    JOIN bucket bk ON tri.doc_id = bk.doc_id AND bk.b < 2
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+),
+delta_store AS (
+    SELECT cs.canonical_id AS subj_id, tri.pred,
+           co.canonical_id AS obj_id,
+           max(tri.score) AS score, CAST(count(*) AS BIGINT) AS support
+    FROM tri
+    JOIN bucket bk ON tri.doc_id = bk.doc_id AND bk.b >= 2
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    GROUP BY 1, 2, 3
+)
+SELECT d.subj_id, d.pred, d.obj_id, d.score, d.support
+FROM delta_store d
+ANTI JOIN base_keys b USING (subj_id, pred, obj_id)
+"""
+
+_SQL["kg_predicate_signatures"] = f"""
+WITH {_kg_ctes()},
+sig AS (
+    SELECT pred, subj_type, obj_type, CAST(count(*) AS BIGINT) AS n
+    FROM tri GROUP BY 1, 2, 3
+),
+tot AS (SELECT pred, CAST(sum(n) AS BIGINT) AS tot FROM sig GROUP BY 1)
+SELECT sig.pred, sig.subj_type, sig.obj_type, sig.n,
+       CAST(floor(CAST(sig.n AS DOUBLE) * 1000000000.0
+                  / CAST(tot.tot AS DOUBLE) + 0.5) AS BIGINT) AS share_ppb
+FROM sig JOIN tot ON sig.pred = tot.pred
+"""
+
+_STORE_KEYS_CTE = """
+store AS (
+    SELECT DISTINCT cs.canonical_id AS subj_id, tri.pred,
+           co.canonical_id AS obj_id
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+)"""
+
+_SQL["kg_two_hop_paths"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+{_STORE_KEYS_CTE}
+SELECT e1.pred AS pred1, e2.pred AS pred2,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM store e1 JOIN store e2 ON e1.obj_id = e2.subj_id
+GROUP BY 1, 2
+"""
+
+_SQL["kg_negative_samples"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+{_STORE_KEYS_CTE},
+ent AS (
+    -- DISTINCT over UNION ALL, not bare UNION: inside a WITH RECURSIVE
+    -- block DuckDB gives union CTEs the recursive-union treatment and
+    -- does NOT deduplicate
+    SELECT DISTINCT e FROM (
+        SELECT subj_id AS e FROM store
+        UNION ALL SELECT obj_id FROM store
+    )
+),
+ents AS (SELECT e, row_number() OVER (ORDER BY e) - 1 AS rk FROM ent),
+cand AS (
+    SELECT s.subj_id, s.pred, s.obj_id, kk.k,
+           ('0x' || substr(md5(s.subj_id || '|' || s.pred || '|'
+                               || s.obj_id || '|'
+                               || CAST(kk.k AS VARCHAR)), 1, 8))::UBIGINT
+               % CAST((SELECT count(*) FROM ents) AS UBIGINT) AS rk
+    FROM store s CROSS JOIN (VALUES (0), (1)) AS kk(k)
+)
+SELECT c.subj_id, c.pred, c.obj_id, CAST(c.k AS BIGINT) AS k,
+       e.e AS neg_obj_id,
+       CAST(CASE WHEN s2.subj_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS is_known
+FROM cand c
+JOIN ents e ON e.rk = c.rk
+LEFT JOIN store s2
+  ON s2.subj_id = c.subj_id AND s2.pred = c.pred AND s2.obj_id = e.e
+"""
+
 _SQL["kg_entity_triangles"] = f"""
 WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()},
@@ -1004,6 +1400,10 @@ QUERIES: Dict[str, Callable] = {
     "kg_entity_pagerank": q_kg_entity_pagerank,
     "kg_edge_pmi": q_kg_edge_pmi,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
+    "kg_store_delta": q_kg_store_delta,
+    "kg_predicate_signatures": q_kg_predicate_signatures,
+    "kg_two_hop_paths": q_kg_two_hop_paths,
+    "kg_negative_samples": q_kg_negative_samples,
     "kg_parity_prf": q_kg_parity_prf,
     "kg_feature_rows": q_kg_feature_rows,
     "kg_scored_triples": q_kg_scored_triples,

@@ -229,6 +229,112 @@ def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
     )
 
 
+def bloom_anti_join(left, right, on, num_bits: int = 1 << 20,
+                    num_hashes: int = 5, num_partitions: int = None):
+    """Exact anti-join ``left ▷ right`` (rows of ``left`` with NO match
+    in ``right`` on the key column(s) ``on``), with a broadcast Bloom
+    shortcut: a row whose composite key FAILS the Bloom filter of the
+    right keys is provably unmatched and bypasses the shuffle entirely;
+    only the Bloom-PASSING sliver (true matches + the false-positive
+    margin) enters an exact left_outer hash join, from which the
+    residual unmatched rows are recovered.  At 100 TB the shuffle
+    carries ~|matches| rows, not |left| — the workhorse of incremental
+    "append only what the store doesn't already hold" updates
+    (reference analog: the dict-membership skip of
+    data/EncyclopediaDS/convert.py:27-46, made distributed and exact).
+
+    ``on`` may be one column or a list (composite keys are FNV-hashed
+    to int64 for the Bloom probe only; the exact join runs on the real
+    columns, so hash collisions cannot drop rows).  NOTE: ``left``'s
+    lineage is consumed twice (fail branch + candidate branch) —
+    pass a cheap or already-aggregated dataset (e.g. a deduped store),
+    or materialize it first.
+    """
+    from rex_ray.functions.hashing import IntBloomFilter, _stable_hash64_batch
+    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+
+    cols = [on] if isinstance(on, str) else list(on)
+
+    def composite_keys(t: pa.Table) -> np.ndarray:
+        parts = [
+            np.asarray([str(x) for x in t[c].to_pylist()], dtype=object)
+            for c in cols
+        ]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined + "\x1f" + p
+        return _stable_hash64_batch(list(joined)).astype(np.int64)
+
+    def build_filter(tables) -> IntBloomFilter:
+        bf = IntBloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+        for t in tables:
+            if t.num_rows and cols[0] in t.schema.names:
+                bf.add_many(composite_keys(t))
+        return bf
+
+    bf_ref = _worker_built_ref(right.select_columns(cols), build_filter)
+
+    def split(t: pa.Table, keep_pass: bool, _ref=bf_ref) -> pa.Table:
+        bf = _side_object(_ref)
+        hit = bf.contains_many(composite_keys(t))
+        return t.filter(pa.array(hit if keep_pass else ~hit))
+
+    fails = left.map_batches(
+        lambda t: split(t, keep_pass=False), batch_format="pyarrow"
+    )
+    candidates = left.map_batches(
+        lambda t: split(t, keep_pass=True), batch_format="pyarrow"
+    )
+
+    # exact residual: candidates left_outer-joined to the distinct right
+    # keys + marker; unmatched (null marker) rows are genuinely new.
+    def batch_unique(t: pa.Table) -> pa.Table:
+        out = t.select(cols).group_by(cols).aggregate([])
+        return out.append_column(
+            "_m", pa.array(np.ones(out.num_rows, dtype=np.int64))
+        )
+
+    from ray.data.aggregate import Max
+
+    distinct = (
+        pre_shuffle(
+            right.select_columns(cols).map_batches(
+                batch_unique, batch_format="pyarrow"
+            )
+        )
+        .groupby(cols)
+        .aggregate(Max("_m", alias_name="_m"))
+    )
+    joined = compact_blocks(candidates).join(
+        compact_blocks(distinct), join_type="left_outer", on=tuple(cols),
+        num_partitions=num_partitions or default_join_partitions(),
+    )
+
+    def unmatched(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_null(t["_m"])).drop_columns(["_m"])
+
+    residual = joined.map_batches(unmatched, batch_format="pyarrow")
+    out = fails.union(residual)
+
+    # An all-matched left (steady-state incremental run with no new
+    # rows) yields only empty blocks, whose schema Ray may drop; union
+    # a 0-row seed table carrying the left schema so the result is
+    # schema-stable even when empty.
+    try:
+        sch = left.schema()
+        arrow_sch = pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        )
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(arrow_sch.empty_table()))
+    except Exception:
+        pass
+    return out
+
+
 def hash_split(ds, id_col: str, ratios=(80, 10, 10),
                names=("train", "val", "test")):
     """Deterministic dataset split assignment: md5(id) % 100 routed by
