@@ -40,6 +40,10 @@ DEFAULTS: Dict[str, Any] = {
     "num_partitions": 8,
     "min_score": 0.0,
     "num_cpus": None,  # None -> let Ray size itself / reuse session
+    # md5 doc-bucket slice [lo, hi) for the bootstrap + incremental
+    # pair (flagship_resumable / incremental pipelines)
+    "bucket_lo": 0,
+    "bucket_hi": 100,
 }
 
 
@@ -62,6 +66,8 @@ def _flagship_resumable(cfg: Dict[str, Any]):
         cfg["out_dir"],
         num_partitions=int(cfg["num_partitions"]),
         min_score=cfg["min_score"],
+        bucket_lo=int(cfg.get("bucket_lo", 0)),
+        bucket_hi=int(cfg.get("bucket_hi", 100)),
     )
     out = os.path.join(cfg["out_dir"], "triple_store")
     # the merge output is rebuilt from the (checkpointed) partitions on
@@ -87,6 +93,45 @@ def _flagship_resumable(cfg: Dict[str, Any]):
         # evidence that a partition was skipped (resume worked)
         "partition_finished_at": [r["finished_at"] for r in lineage],
         "triple_store": out,
+    }
+
+
+@register("pipeline", "incremental")
+def _incremental(cfg: Dict[str, Any]):
+    """Incremental store update (``kg.run_incremental``): the docs in
+    md5 buckets [bucket_lo, bucket_hi) are the newly-arrived increment;
+    only (subj, pred, obj) keys the existing out_dir store does not
+    already hold are appended (Bloom-prefiltered anti-join), under the
+    base run's frozen canonical-map artifact, with per-partition
+    lineage and idempotent re-runs."""
+    from rex_ray.pipelines import kg
+
+    new_triples, lineage, delta_dir = kg.run_incremental(
+        cfg["sf_dir"],
+        cfg["out_dir"],
+        bucket_lo=int(cfg.get("bucket_lo", 2)),
+        bucket_hi=int(cfg.get("bucket_hi", 100)),
+        num_partitions=int(cfg["num_partitions"]),
+        min_score=cfg["min_score"],
+    )
+    out = os.path.join(delta_dir, "new_triples")
+    import shutil
+
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    new_triples.write_parquet(out)
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_metadata(os.path.join(out, f)).num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    return {
+        "rows": n,
+        "partitions": len(lineage),
+        "partition_finished_at": [r["finished_at"] for r in lineage],
+        "new_triples": out,
     }
 
 

@@ -109,6 +109,8 @@ def run_flagship_resumable(
     out_dir: str,
     num_partitions: int = 8,
     min_score: float = 0.0,
+    bucket_lo: int = 0,
+    bucket_hi: int = 100,
 ):
     """Checkpoint-resumable flagship (north_rule): per-partition
     lineage + metrics under ``out_dir``, exact vs :func:`run_flagship`.
@@ -120,8 +122,80 @@ def run_flagship_resumable(
              + ``_SUCCESS`` + lineage row.  Resume skips done parts.
     Phase 2  associative merge (max score, sum support) over all parts.
 
+    With ``bucket_lo``/``bucket_hi`` the run covers only docs whose
+    md5 bucket falls in [lo, hi) — the bootstrap half of the
+    bootstrap + :func:`run_incremental` pair (default: everything).
+
     Returns (triple_store Dataset, lineage list).
     """
+    from rex_ray.stages.relational import bucket_filter
+    from rex_ray.state import checkpoint as ckpt
+
+    path = f"{sf_dir}/documents.parquet"
+    sliced = bucket_lo > 0 or bucket_hi < 100
+
+    def slice_docs(ds):
+        return (
+            bucket_filter(ds, "doc_id", bucket_lo, bucket_hi)
+            if sliced
+            else ds
+        )
+
+    canonical = ckpt.write_artifact(
+        out_dir,
+        "canonical_map",
+        None,
+        build=lambda: build_canonical_map(
+            il.text_view(
+                il.synthesize_interleaved(
+                    slice_docs(
+                        rd.read_parquet(path, columns=["doc_id", "text"])
+                    )
+                )
+            )
+        ),
+    )
+
+    def stage(docs_ds):
+        inter = il.synthesize_interleaved(
+            slice_docs(docs_ds).select_columns(["doc_id", "text"])
+        )
+        text_ds = il.text_view(inter)
+        triples = extract.extract_triples(text_ds, min_score=min_score)
+        linked = link.link_triples(triples, canonical)
+        return agg.dedup_triple_store(linked)
+
+    parts = ckpt.plan_id_ranges(path, "doc_id", num_partitions)
+    lineage = ckpt.run_resumable(parts, stage, out_dir)
+    merged = agg.merge_triple_stores(ckpt.read_output(out_dir))
+    return merged, lineage
+
+
+def run_incremental(
+    sf_dir: str,
+    out_dir: str,
+    bucket_lo: int = 2,
+    bucket_hi: int = 100,
+    num_partitions: int = 4,
+    min_score: float = 0.0,
+):
+    """Incremental update of an existing :func:`run_flagship_resumable`
+    store: docs in md5 buckets [bucket_lo, bucket_hi) are the newly
+    arrived increment.  Their triples are linked with the FROZEN
+    canonical-map artifact of the base run (per-epoch dictionary —
+    linking must stay consistent with the store already on disk;
+    rebuild the dictionary in a fresh epoch dir when alias drift
+    matters), deduped per partition with lineage, merged, and
+    Bloom-anti-joined against the existing store so only
+    genuinely-new (subj, pred, obj) keys are appended.  Re-ingesting
+    an increment costs ~O(new): known keys drop map-side at the Bloom
+    and finished partitions resume from their ``_SUCCESS`` markers.
+
+    Returns (new_triples Dataset, lineage list, delta_out path).
+    """
+    import os
+
+    from rex_ray.stages.relational import bloom_anti_join, bucket_filter
     from rex_ray.state import checkpoint as ckpt
 
     path = f"{sf_dir}/documents.parquet"
@@ -133,25 +207,40 @@ def run_flagship_resumable(
         build=lambda: build_canonical_map(
             il.text_view(
                 il.synthesize_interleaved(
-                    rd.read_parquet(path, columns=["doc_id", "text"])
+                    bucket_filter(
+                        rd.read_parquet(path, columns=["doc_id", "text"]),
+                        "doc_id", bucket_lo, bucket_hi,
+                    )
                 )
             )
         ),
     )
 
     def stage(docs_ds):
+        part = bucket_filter(docs_ds, "doc_id", bucket_lo, bucket_hi)
         inter = il.synthesize_interleaved(
-            docs_ds.select_columns(["doc_id", "text"])
+            part.select_columns(["doc_id", "text"])
         )
-        text_ds = il.text_view(inter)
-        triples = extract.extract_triples(text_ds, min_score=min_score)
+        triples = extract.extract_triples(
+            il.text_view(inter), min_score=min_score
+        )
         linked = link.link_triples(triples, canonical)
         return agg.dedup_triple_store(linked)
 
+    delta_dir = os.path.join(out_dir, f"delta-{bucket_lo}-{bucket_hi}")
     parts = ckpt.plan_id_ranges(path, "doc_id", num_partitions)
-    lineage = ckpt.run_resumable(parts, stage, out_dir)
-    merged = agg.merge_triple_stores(ckpt.read_output(out_dir))
-    return merged, lineage
+    lineage = ckpt.run_resumable(parts, stage, delta_dir)
+    delta_store = agg.merge_triple_stores(
+        ckpt.read_output(delta_dir)
+    ).materialize()
+
+    existing = ckpt.read_output(out_dir).select_columns(
+        ["subj_id", "pred", "obj_id"]
+    )
+    new_triples = bloom_anti_join(
+        delta_store, existing, on=("subj_id", "pred", "obj_id")
+    )
+    return new_triples, lineage, delta_dir
 
 
 def run_flagship(sf_dir: str, min_score: float = 0.0):

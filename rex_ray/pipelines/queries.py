@@ -235,26 +235,12 @@ def q_kg_edge_pmi(sf_dir: str):
 
 
 def _bucket_filter(docs_ds, lo: int, hi: int):
-    """Docs whose md5(doc_id) % 100 bucket falls in [lo, hi) — the same
-    deterministic, resume-stable routing as stages/relational.hash_split
-    (DuckDB computes the identical md5 bucket)."""
-    import hashlib
+    """Docs whose md5(doc_id) % 100 bucket falls in [lo, hi)
+    (stages/relational.bucket_filter; DuckDB computes the identical
+    md5 bucket)."""
+    from rex_ray.stages.relational import bucket_filter
 
-    import numpy as np
-    import pyarrow as pa
-
-    def keep(t: pa.Table) -> pa.Table:
-        b = np.fromiter(
-            (
-                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
-                for v in t["doc_id"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=t.num_rows,
-        )
-        return t.filter(pa.array((b >= lo) & (b < hi)))
-
-    return docs_ds.map_batches(keep, batch_format="pyarrow")
+    return bucket_filter(docs_ds, "doc_id", lo, hi)
 
 
 def q_kg_store_delta(sf_dir: str):

@@ -229,6 +229,27 @@ def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
     )
 
 
+def bucket_filter(ds, id_col: str, lo: int, hi: int):
+    """Rows whose md5(id) % 100 bucket falls in [lo, hi) — the same
+    deterministic routing as :func:`hash_split`, as a filter.  Pure
+    function of the id: any shard filters independently, re-runs are
+    stable, and a DuckDB oracle computes the identical bucket."""
+    import hashlib
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (
+                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+                for v in t[id_col].to_pylist()
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return t.filter(pa.array((b >= lo) & (b < hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def bloom_anti_join(left, right, on, num_bits: int = 1 << 20,
                     num_hashes: int = 5, num_partitions: int = None):
     """Exact anti-join ``left ▷ right`` (rows of ``left`` with NO match

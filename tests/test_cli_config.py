@@ -123,3 +123,48 @@ def test_cli_rerun_is_idempotent(tmp_path):
     # deterministic skip evidence: the rerun returned every partition's
     # lineage untouched (identical finished_at), i.e. no partition re-ran
     assert rep2["partition_finished_at"] == rep1["partition_finished_at"]
+
+
+def test_cli_bootstrap_plus_incremental(tmp_path):
+    """The bootstrap + incremental pair: a store built from md5 doc
+    buckets [0, 2) then an increment over [2, 100) must append EXACTLY
+    the keys the full-corpus store has beyond the bootstrap (132 + 12
+    = 144 at sf0.001), and re-running the increment must skip all
+    partitions (idempotent, identical lineage timestamps)."""
+    out_dir = tmp_path / "inc"
+    r = _cli(
+        [
+            "run", "-a", "num_partitions=2", "-a", f"out_dir={out_dir}",
+            "-a", "sf_dir=/root/testdata/sf0.001", "-a", "bucket_hi=2",
+        ],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    boot = json.loads(r.stdout.strip().splitlines()[-1])
+
+    inc_args = [
+        "run", "-a", "pipeline=incremental", "-a", "num_partitions=2",
+        "-a", f"out_dir={out_dir}", "-a", "sf_dir=/root/testdata/sf0.001",
+        "-a", "bucket_lo=2", "-a", "bucket_hi=100",
+    ]
+    r1 = _cli(inc_args, cwd=str(tmp_path))
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    rep1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert boot["rows"] + rep1["rows"] == 144  # full-store key count
+    assert rep1["rows"] > 0
+
+    # appended keys must be disjoint from the bootstrap store
+    import pyarrow.parquet as pq
+
+    def keys(d):
+        t = pq.read_table(d, columns=["subj_id", "pred", "obj_id"])
+        return set(zip(*(t[c].to_pylist() for c in t.schema.names)))
+
+    base = keys(str(out_dir / "triple_store"))
+    new = keys(rep1["new_triples"])
+    assert len(new) == rep1["rows"] and not (base & new)
+
+    r2 = _cli(inc_args, cwd=str(tmp_path))
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep2["rows"] == rep1["rows"]
+    assert rep2["partition_finished_at"] == rep1["partition_finished_at"]
