@@ -393,6 +393,21 @@ def q_ta_quality(sf_dir: str):
     )
 
 
+def q_ta_tfidf(sf_dir: str):
+    """Distributed TF-IDF per (doc_id, token): one slim doc-token
+    shuffle for tf, a vocabulary-sized broadcast for df (no second
+    join), vectorized scoring under the PMI double-determinism
+    contract.  N comes from Parquet metadata — no extra data pass."""
+    import pyarrow.parquet as pq
+
+    from rex_ray.stages.textstats import tf_idf
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return tf_idf(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n_docs
+    )
+
+
 def q_ta_word_freq(sf_dir: str):
     from rex_ray.stages.textstats import word_frequency
 
@@ -701,6 +716,20 @@ SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
        + 0.3 * distinct_ratio
        + 0.2 * least(1.0, 5.0 * stopword_ratio) AS quality_score
 FROM ratios
+"""
+
+EXT_SQL["ta_tfidf"] = """
+WITH tf AS (
+    SELECT doc_id, u.token, CAST(count(*) AS BIGINT) AS tf
+    FROM documents, unnest(string_split(text, ' ')) AS u(token)
+    GROUP BY 1, 2
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       round(tf.tf * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)), 8)
+           AS tfidf
+FROM tf JOIN df USING (token)
 """
 
 EXT_SQL["ta_word_freq"] = """
@@ -1054,6 +1083,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_langid_confusion": q_ta_langid_confusion,
     "ta_quality": q_ta_quality,
     "ta_word_freq": q_ta_word_freq,
+    "ta_tfidf": q_ta_tfidf,
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from rex_ray.functions import text as T
 from rex_ray.functions.blocks import (
@@ -248,3 +249,91 @@ def distinct_word_hll_registers(docs_ds, p: int = 10):
 
     part = pre_shuffle(docs_ds.map_batches(partial, batch_format="pandas"))
     return part.groupby("bucket").aggregate(Max("max_rho", alias_name="max_rho"))
+
+
+def tf_idf(docs_ds, n_docs: int):
+    """Per (doc_id, token) TF-IDF over the corpus — the classic
+    text-weighting primitive (Sparck Jones 1972), shaped for scale:
+
+    * tf: per-batch (doc_id, token) partial counts -> ONE slim
+      groupby-sum shuffle (rows = distinct doc-token pairs, not
+      tokens);
+    * df: per-batch distinct-doc counts per token (a document never
+      straddles a row batch, so per-batch distinct is globally exact)
+      -> a vocabulary-sized aggregate, broadcast worker-built as a
+      dict — NO second large join;
+    * score: vectorized ``round(tf * ln(N / df), 8)`` — one double
+      division, ln, multiply in identical order on both engines (the
+      PMI determinism contract, stages/graph.edge_pmi).
+
+    ``n_docs`` is passed by the caller (a Parquet metadata read — no
+    extra pass over the data).
+    """
+    from ray.data.aggregate import Sum
+
+    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+
+    def tf_partial(batch: pd.DataFrame) -> pa.Table:
+        ex = batch[["doc_id"]].assign(
+            token=batch["text"].str.split(" ")
+        ).explode("token")
+        g = (
+            ex.groupby(["doc_id", "token"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        return arrow_block(g)
+
+    tf = (
+        pre_shuffle(docs_ds.map_batches(tf_partial, batch_format="pandas"))
+        .groupby(["doc_id", "token"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+    def df_partial(batch: pd.DataFrame) -> pa.Table:
+        counts: dict = {}
+        for text in batch["text"]:
+            for t in set(text.split(" ")):
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    df_ds = (
+        pre_shuffle(docs_ds.map_batches(df_partial, batch_format="pandas"))
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    df_ref = _worker_built_ref(
+        df_ds,
+        lambda tables: {
+            t: int(d)
+            for tbl in tables
+            if "token" in tbl.schema.names
+            for t, d in zip(tbl["token"].to_pylist(), tbl["df"].to_pylist())
+        },
+    )
+
+    def score(t: pa.Table, _ref=df_ref) -> pa.Table:
+        dfm = _side_object(_ref)
+        toks = t["token"].to_pylist()
+        df = np.fromiter(
+            (dfm[x] for x in toks), dtype=np.float64, count=len(toks)
+        )
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tfv * np.log(n_docs / df), 8)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "token": t["token"],
+                "tf": t["tf"],
+                "df": pa.array(df.astype(np.int64), pa.int64()),
+                "tfidf": pa.array(tfidf, pa.float64()),
+            }
+        )
+
+    return tf.map_batches(score, batch_format="pyarrow")

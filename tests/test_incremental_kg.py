@@ -166,3 +166,28 @@ def test_store_delta_disjoint_from_base_and_complete():
     }
     assert got == delta - base
     assert got  # non-trivial at this scale
+
+
+def test_tf_idf_matches_hand_computation():
+    import math
+
+    from rex_ray.stages.textstats import tf_idf
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b a"},
+            {"doc_id": 2, "text": "a c"},
+            {"doc_id": 3, "text": "c c d"},
+        ]
+    )
+    got = {
+        (r["doc_id"], r["token"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tf_idf(docs, n_docs=3).take_all()
+    }
+    # df: a->2, b->1, c->2, d->1
+    assert got[(1, "a")] == (2, 2, round(2 * math.log(3 / 2), 8))
+    assert got[(1, "b")] == (1, 1, round(1 * math.log(3 / 1), 8))
+    assert got[(2, "c")] == (1, 2, round(1 * math.log(3 / 2), 8))
+    assert got[(3, "c")] == (2, 2, round(2 * math.log(3 / 2), 8))
+    assert got[(3, "d")] == (1, 1, round(1 * math.log(3.0), 8))
+    assert len(got) == 6
