@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "kg_entity_triangles",           # graph: wedge-closure join
     "kg_entity_pagerank",            # graph: 3 Pregel supersteps
     "ta_packed_bins",                # distributed prefix-sum scan
+    # round-2b additions
+    "kg_store_delta",                # incremental anti-join update
+    "kg_two_hop_paths",              # store self-join path mining
+    "kg_triple_provenance",          # distinct-doc evidence aggregate
+    "ta_tfidf",                      # broadcast-df TF-IDF
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

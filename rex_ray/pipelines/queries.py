@@ -255,28 +255,37 @@ def q_kg_store_delta(sf_dir: str):
     increment costs ~O(delta), not O(store).  The canonical map is
     global state built over the FULL corpus (the dictionary artifact
     of the resumable flagship, pipelines/kg.py phase 0)."""
-    from rex_ray.pipelines import kg
     from rex_ray.stages import aggregate as agg
+    from rex_ray.stages import canonical as canon
     from rex_ray.stages import extract, link
-    from rex_ray.stages.relational import bloom_anti_join
+    from rex_ray.stages.relational import bloom_anti_join, bucket_filter
 
-    docs = _docs(sf_dir)
-    canonical = kg.build_canonical_map(docs)
+    # ONE corpus pass (kg.triple_store_from_text_docs's fused shape):
+    # the tagged stream carries triples + distinct surfaces; base and
+    # delta are cheap bucket filters over the materialized tagged rows
+    tagged = extract.extract_triples_and_surfaces(
+        _docs(sf_dir)
+    ).materialize()
+    uniq = tagged.filter(expr="kind == 's'").unique("surface")
+    surfaces = sorted(uniq) if uniq else []
+    canonical = canon.canonical_map_for_surfaces(
+        surfaces, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX
+    )
+    triples = tagged.filter(expr="kind == 't'").drop_columns(
+        ["kind", "surface"]
+    )
 
-    def store_for(lo: int, hi: int):
-        part = _bucket_filter(docs, lo, hi)
-        linked = link.link_triples(
-            extract.extract_triples(part), canonical
-        )
-        return agg.dedup_triple_store(linked)
+    def store_slice(lo: int, hi: int):
+        part = bucket_filter(triples, "doc_id", lo, hi)
+        return agg.dedup_triple_store(link.link_triples(part, canonical))
 
-    base_keys = store_for(0, 2).select_columns(
+    base_keys = store_slice(0, 2).select_columns(
         ["subj_id", "pred", "obj_id"]
     )
     # the delta store is consumed twice by the anti-join (Bloom-fail
     # branch + exact-residual branch); it is already aggregated (small
-    # vs the corpus), so materialize once instead of re-extracting
-    delta_store = store_for(2, 100).materialize()
+    # vs the corpus), so materialize once instead of re-filtering
+    delta_store = store_slice(2, 100).materialize()
     return bloom_anti_join(
         delta_store, base_keys, on=("subj_id", "pred", "obj_id")
     )
@@ -518,6 +527,20 @@ def q_kg_negative_samples(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_kg_triple_provenance(sf_dir: str):
+    """Per-triple provenance: distinct supporting-doc count + the 3
+    smallest doc_ids as a deterministic evidence sample
+    (stages/aggregate.triple_provenance)."""
+    from rex_ray.pipelines import kg
+    from rex_ray.stages import aggregate as agg
+    from rex_ray.stages import extract, link
+
+    docs = _docs(sf_dir)
+    canonical = kg.build_canonical_map(docs)
+    linked = link.link_triples(extract.extract_triples(docs), canonical)
+    return agg.triple_provenance(linked, evidence_k=3)
 
 
 def q_kg_parity_prf(sf_dir: str):
@@ -1057,6 +1080,22 @@ FROM delta_store d
 ANTI JOIN base_keys b USING (subj_id, pred, obj_id)
 """
 
+_SQL["kg_triple_provenance"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()}
+SELECT cs.canonical_id AS subj_id, tri.pred, co.canonical_id AS obj_id,
+       CAST(count(DISTINCT tri.doc_id) AS BIGINT) AS n_docs,
+       array_to_string(
+           list_transform(
+               list_slice(list_sort(list(DISTINCT tri.doc_id)), 1, 3),
+               x -> CAST(x AS VARCHAR)),
+           ',') AS evidence
+FROM tri
+JOIN canon cs ON tri.subj = cs.surface
+JOIN canon co ON tri.obj = co.surface
+GROUP BY 1, 2, 3
+"""
+
 _SQL["kg_predicate_signatures"] = f"""
 WITH {_kg_ctes()},
 sig AS (
@@ -1387,6 +1426,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_edge_pmi": q_kg_edge_pmi,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_store_delta": q_kg_store_delta,
+    "kg_triple_provenance": q_kg_triple_provenance,
     "kg_predicate_signatures": q_kg_predicate_signatures,
     "kg_two_hop_paths": q_kg_two_hop_paths,
     "kg_negative_samples": q_kg_negative_samples,

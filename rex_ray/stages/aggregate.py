@@ -183,3 +183,56 @@ def entity_degrees(store_ds):
         Sum("out_deg", alias_name="out_deg"),
         Sum("in_deg", alias_name="in_deg"),
     )
+
+
+def triple_provenance(linked_triples_ds, evidence_k: int = 3):
+    """Evidence tracking per deduped triple: (subj_id, pred, obj_id) ->
+    number of distinct supporting documents plus the ``evidence_k``
+    smallest doc_ids as a deterministic evidence sample — the
+    provenance record a production KG keeps next to each fact.
+
+    Scale shape: a document's triples never straddle a batch, so the
+    per-batch distinct (key, doc_id) combiner emits globally-unique
+    pairs; the shuffle carries one slim row per (triple, doc).  The
+    min-k evidence sample is associative (min-k of min-ks), so hot
+    triples are bounded at the reduce by #batches.  Reference analog:
+    the per-bag instance bookkeeping of rex/data/transforms/
+    bag_re.py:78-108, with provenance instead of instance features.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    KEYS = ["subj_id", "pred", "obj_id"]
+    out_schema = pa.schema(
+        [
+            ("subj_id", pa.string()),
+            ("pred", pa.string()),
+            ("obj_id", pa.string()),
+            ("n_docs", pa.int64()),
+            ("evidence", pa.string()),
+        ]
+    )
+
+    def pairs(batch: pd.DataFrame):
+        slim = batch[KEYS + ["doc_id"]].drop_duplicates()
+        return arrow_block(slim)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
+        return pa.table(
+            {
+                "subj_id": [str(g["subj_id"].iloc[0])],
+                "pred": [str(g["pred"].iloc[0])],
+                "obj_id": [str(g["obj_id"].iloc[0])],
+                "n_docs": pa.array([len(ids)], pa.int64()),
+                "evidence": [
+                    ",".join(str(i) for i in ids[:evidence_k])
+                ],
+            },
+            schema=out_schema,
+        )
+
+    slim = pre_shuffle(
+        linked_triples_ds.map_batches(pairs, batch_format="pandas")
+    )
+    return slim.groupby(KEYS).map_groups(merge, batch_format="pandas")

@@ -191,3 +191,25 @@ def test_tf_idf_matches_hand_computation():
     assert got[(3, "c")] == (2, 2, round(2 * math.log(3 / 2), 8))
     assert got[(3, "d")] == (1, 1, round(1 * math.log(3.0), 8))
     assert len(got) == 6
+
+
+def test_triple_provenance_min_k_evidence():
+    from rex_ray.stages.aggregate import triple_provenance
+
+    rows = []
+    for d in [9, 3, 7, 5, 1]:  # 5 docs support the same triple
+        rows.append(
+            {"doc_id": d, "subj_id": "e1", "pred": "p", "obj_id": "e2"}
+        )
+        rows.append(  # duplicate within-doc mention must not inflate
+            {"doc_id": d, "subj_id": "e1", "pred": "p", "obj_id": "e2"}
+        )
+    rows.append({"doc_id": 4, "subj_id": "e3", "pred": "q", "obj_id": "e4"})
+    got = {
+        (r["subj_id"], r["pred"], r["obj_id"]): (r["n_docs"], r["evidence"])
+        for r in triple_provenance(rd.from_items(rows)).take_all()
+    }
+    assert got == {
+        ("e1", "p", "e2"): (5, "1,3,5"),
+        ("e3", "q", "e4"): (1, "4"),
+    }
