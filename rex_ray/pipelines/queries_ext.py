@@ -555,6 +555,16 @@ def q_mm_frame_samples(sf_dir: str):
     return frame_samples(il.media_spans(inter).drop_columns(["offset"]))
 
 
+def q_mm_media_context(sf_dir: str):
+    """Text-neighborhood alignment for every media span (the record a
+    caption/ASR/grounding stage consumes)."""
+    from rex_ray.sources import interleaved as il
+    from rex_ray.stages.multimodal import media_context
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return media_context(il.synthesize_interleaved(docs))
+
+
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
@@ -1061,6 +1071,39 @@ SELECT printf('doc-%08d', doc_id) AS doc_id,
 FROM media
 """
 
+# Slot layout (sources/interleaved.py synthesis spec): text chunks of
+# c = 4 + doc_id % 4 tokens, one media span after every 2nd text chunk
+# -> media m (1-indexed) sits at offset 3m-1, preceded by text chunk 2m
+# (tokens (2m-1)*c+1 .. 2m*c, 1-indexed) and followed by text chunk
+# 2m+1 when it exists.  The span before a media span is always text.
+EXT_SQL["mm_media_context"] = """
+WITH stats AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           4 + doc_id % 4 AS c
+    FROM documents
+),
+m AS (
+    SELECT doc_id, c, toks,
+           (len(toks) + c - 1) // c AS n_text
+    FROM stats
+),
+media AS (
+    SELECT doc_id, c, toks, n_text, i + 1 AS mi
+    FROM m, LATERAL (SELECT unnest(range(n_text // 2)) AS i)
+)
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       'media://' || doc_id || '/' || mi AS media_ref,
+       CAST(3 * mi - 1 AS BIGINT) AS span_offset,
+       'text' AS prev_kind,
+       array_to_string(list_slice(toks, (2*mi-1)*c + 1, 2*mi*c), ' ')
+           AS prev_text,
+       CASE WHEN n_text >= 2*mi + 1
+            THEN array_to_string(
+                list_slice(toks, 2*mi*c + 1, (2*mi+1)*c), ' ')
+            ELSE '' END AS next_text
+FROM media
+"""
+
 
 EXT_QUERIES: Dict[str, Callable] = {
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -1096,4 +1139,5 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_samples": q_mm_frame_samples,
+    "mm_media_context": q_mm_media_context,
 }

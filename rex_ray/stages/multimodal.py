@@ -134,3 +134,66 @@ def frame_samples(media_ds, stride: int = 16, concurrency=None):
         batch_format="pandas",
         concurrency=concurrency or default_concurrency(),
     )
+
+
+def media_context(interleaved_ds):
+    """Text context for every media span: the text spans immediately
+    before and after it in the document's span sequence — the
+    alignment record a caption/ASR/grounding stage consumes (media
+    span + surrounding text), produced WITHOUT materializing an
+    exploded span table: explode + neighbor lookup run inside one
+    ``map_batches`` call, so a document's spans can never straddle a
+    block boundary (same boundary-safety argument as the fused
+    extraction pass, stages/extract.extract_triples_and_surfaces).
+
+    Output: (doc_id, media_ref, span_offset, prev_kind, prev_text,
+    next_text) — ``next_text`` is '' when the media span closes the
+    document (even text-chunk count).  Vectorized: neighbor texts via
+    shifted numpy views; a span's predecessor row is always the same
+    document's previous offset because explode preserves per-doc span
+    order.
+    """
+    import pyarrow as pa
+
+    from rex_ray.sources.interleaved import explode_spans
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        t = explode_spans(batch)
+        n = t.num_rows
+        kind = np.asarray(t["kind"].to_pylist(), dtype=object)
+        text = np.asarray(t["text"].to_pylist(), dtype=object)
+        ref = np.asarray(t["media_ref"].to_pylist(), dtype=object)
+        off = t["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+
+        is_media = kind != "text"
+        # previous row is the same doc's previous span iff offset > 0
+        prev_ok = off > 0
+        prev_kind = np.where(
+            prev_ok, np.roll(kind, 1), np.array("", dtype=object)
+        )
+        prev_text = np.where(
+            prev_ok, np.roll(text, 1), np.array("", dtype=object)
+        )
+        # next row is the same doc's next span iff it exists and does
+        # not restart at offset 0
+        nxt = np.roll(off, -1)
+        next_ok = np.arange(n) + 1 < n
+        next_ok &= nxt > 0
+        next_text = np.where(
+            next_ok, np.roll(text, -1), np.array("", dtype=object)
+        )
+
+        sel = is_media
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[sel], pa.string()),
+                "media_ref": pa.array(ref[sel], pa.string()),
+                "span_offset": pa.array(off[sel], pa.int64()),
+                "prev_kind": pa.array(prev_kind[sel], pa.string()),
+                "prev_text": pa.array(prev_text[sel], pa.string()),
+                "next_text": pa.array(next_text[sel], pa.string()),
+            }
+        )
+
+    return interleaved_ds.map_batches(per_batch, batch_format="pyarrow")

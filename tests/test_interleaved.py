@@ -147,3 +147,35 @@ def test_frame_sample_stub_fanout(ray_session):
     # empty batch keeps schema
     empty = FrameSampleStub()(batch.iloc[0:0])
     assert list(empty.columns) == ["doc_id", "media_ref", "kind", "unit_idx"]
+
+
+def test_media_context_neighbors(ray_session):
+    """Each media span pairs with the text chunks beside it; a media
+    span that closes its document gets next_text='' and the first doc
+    in a batch never inherits a neighbor from the previous doc."""
+    import ray
+
+    from rex_ray.stages.multimodal import media_context
+
+    # doc 0: c=4, 10 tokens -> chunks of 4/4/2, media after chunk 2
+    #   layout: T("a b c d") T("e f g h") M1 T("i j")  -> M1 has next
+    # doc 1: c=5, 10 tokens -> chunks 5/5, media after chunk 2 closes
+    #   the doc -> next_text = ''
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": ["a b c d e f g h i j", "k l m n o p q r s t"],
+        }
+    )
+    inter = il.synthesize_batch(t)
+    out = (
+        media_context(ray.data.from_arrow(inter))
+        .to_pandas()
+        .sort_values(["doc_id", "span_offset"], ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == ["doc-00000000", "doc-00000001"]
+    assert out["media_ref"].tolist() == ["media://0/1", "media://1/1"]
+    assert out["span_offset"].tolist() == [2, 2]
+    assert out["prev_kind"].tolist() == ["text", "text"]
+    assert out["prev_text"].tolist() == ["e f g h", "p q r s t"]
+    assert out["next_text"].tolist() == ["i j", ""]
