@@ -555,6 +555,15 @@ def q_mm_frame_samples(sf_dir: str):
     return frame_samples(il.media_spans(inter).drop_columns(["offset"]))
 
 
+def q_dd_decontam(sf_dir: str):
+    """Benchmark decontamination: training docs (doc_id % 10 != 0)
+    sharing any distinct 8-gram with the benchmark partition
+    (doc_id % 10 == 0); broadcast sorted-hash probe, no shuffle."""
+    from rex_ray.stages.decontam import decontaminate
+
+    return decontaminate(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_mm_media_context(sf_dir: str):
     """Text-neighborhood alignment for every media span (the record a
     caption/ASR/grounding stage consumes)."""
@@ -1071,6 +1080,25 @@ SELECT printf('doc-%08d', doc_id) AS doc_id,
 FROM media
 """
 
+# stages/decontam.py: n=8 token grams, benchmark = doc_id % 10 == 0.
+# The Ray side joins on md5-64 gram hashes; the oracle joins on the
+# gram strings themselves (equivalent up to md5-64 collisions).
+EXT_SQL["dd_decontam"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, array_to_string(t[i+1:i+8], ' ') AS g
+    FROM toks,
+         LATERAL (SELECT unnest(range(greatest(len(t) - 7, 0))) AS i) u
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tg JOIN bg USING (g)
+GROUP BY tg.doc_id
+"""
+
 # Slot layout (sources/interleaved.py synthesis spec): text chunks of
 # c = 4 + doc_id % 4 tokens, one media span after every 2nd text chunk
 # -> media m (1-indexed) sits at offset 3m-1, preceded by text chunk 2m
@@ -1135,6 +1163,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_simhash": q_dd_simhash,
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "dd_embedding_pairs": q_dd_embedding_pairs,
+    "dd_decontam": q_dd_decontam,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "mm_decode_features": q_mm_decode_features,

@@ -308,3 +308,32 @@ def test_hll_stage_matches_local(ray_session):
     for bb, rr in zip(b, r):
         want[bb] = max(want.get(bb, 0), rr)
     assert got == want
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Doc 1 copies an 8-gram from benchmark doc 0 twice (counted
+    once — distinct semantics); doc 3 shares nothing; doc 11 shares a
+    7-token run only (below n=8, no hit)."""
+    import ray
+
+    from rex_ray.stages.decontam import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(12))  # doc 0: bench
+    gram8 = " ".join(f"b{i}" for i in range(8))
+    run7 = " ".join(f"b{i}" for i in range(7))
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": bench_text},
+            {"doc_id": 1, "text": f"x y z {gram8} q r {gram8}"},
+            {"doc_id": 3, "text": " ".join(f"c{i}" for i in range(20))},
+            {"doc_id": 11, "text": f"u v {run7} w x y z0 z1 z2"},
+        ]
+    )
+    out = decontaminate(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    # doc 1 hits: the copied gram appears at two offsets but is ONE
+    # distinct gram; sliding windows over "b0..b7 q r b0..b7" add no
+    # other gram fully inside benchmark text
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_hits"].tolist() == [1]
