@@ -555,6 +555,21 @@ def q_mm_frame_samples(sf_dir: str):
     return frame_samples(il.media_spans(inter).drop_columns(["offset"]))
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_ann_kmeans(sf_dir: str):
+    """Distributed integer-grid k-means (2 Lloyd updates, seeds =
+    vec_id < 8) then final assignment — the trained IVF codebook path;
+    exact int64 arithmetic makes it oracle-checkable."""
+    from rex_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return kmeans_assign(emb, C)
+
+
 def q_dd_decontam(sf_dir: str):
     """Benchmark decontamination: training docs (doc_id % 10 != 0)
     sharing any distinct 8-gram with the benchmark partition
@@ -1080,6 +1095,79 @@ SELECT printf('doc-%08d', doc_id) AS doc_id,
 FROM media
 """
 
+# stages/similarity.py k-means: exact integer grid v = floor(x*1024 +
+# 0.5); centroid update m = floordiv(2*sum + n, 2*n) (floor-div
+# emulated below since DuckDB's // truncates toward zero); empty
+# clusters keep their previous centroid; ties break to lowest cid.
+EXT_SQL["ann_kmeans"] = """
+WITH qe AS (
+    SELECT vec_id, i - 1 AS i,
+           CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+                      * 1024 + 0.5) AS BIGINT) AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+),
+c0 AS (SELECT vec_id AS cid, i, v FROM qe WHERE vec_id < 8),
+d1 AS (
+    SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS d
+    FROM qe q JOIN c0 c USING (i) GROUP BY 1, 2
+),
+a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+u1 AS (
+    SELECT cid, i, (a - ((a % b + b) % b)) // b AS v
+    FROM (
+        SELECT a1.cid, q.i,
+               2 * sum(q.v) + count(*) AS a, 2 * count(*) AS b
+        FROM a1 JOIN qe q USING (vec_id) GROUP BY 1, 2
+    )
+),
+c1 AS (
+    SELECT c0.cid, c0.i, COALESCE(u1.v, c0.v) AS v
+    FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.i = c0.i
+),
+d2 AS (
+    SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS d
+    FROM qe q JOIN c1 c USING (i) GROUP BY 1, 2
+),
+a2 AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d2
+    ) WHERE rn = 1
+),
+u2 AS (
+    SELECT cid, i, (a - ((a % b + b) % b)) // b AS v
+    FROM (
+        SELECT a2.cid, q.i,
+               2 * sum(q.v) + count(*) AS a, 2 * count(*) AS b
+        FROM a2 JOIN qe q USING (vec_id) GROUP BY 1, 2
+    )
+),
+c2 AS (
+    SELECT c1.cid, c1.i, COALESCE(u2.v, c1.v) AS v
+    FROM c1 LEFT JOIN u2 ON u2.cid = c1.cid AND u2.i = c1.i
+),
+d3 AS (
+    SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS d
+    FROM qe q JOIN c2 c USING (i) GROUP BY 1, 2
+)
+SELECT vec_id, cid AS cluster_id, CAST(d AS BIGINT) AS dist FROM (
+    SELECT vec_id, cid, d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cid) AS rn
+    FROM d3
+) WHERE rn = 1
+"""
+
 # stages/decontam.py: n=8 token grams, benchmark = doc_id % 10 == 0.
 # The Ray side joins on md5-64 gram hashes; the oracle joins on the
 # gram strings themselves (equivalent up to md5-64 collisions).
@@ -1166,6 +1254,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_decontam": q_dd_decontam,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
+    "ann_kmeans": q_ann_kmeans,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_samples": q_mm_frame_samples,
     "mm_media_context": q_mm_media_context,

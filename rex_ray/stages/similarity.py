@@ -138,10 +138,18 @@ class IvfCentroidAssigner:
     nprobe nearest buckets.  This is the 100 TB path — search cost per
     query drops from O(n) to O(n * nprobe / C)."""
 
-    def __init__(self, num_centroids: int = 64, dim: int = 64, seed: int = 13):
-        rng = np.random.RandomState(seed)
-        C = rng.standard_normal((num_centroids, dim))
-        self.C = _normalize(C)
+    def __init__(
+        self,
+        num_centroids: int = 64,
+        dim: int = 64,
+        seed: int = 13,
+        centroids=None,
+    ):
+        if centroids is not None:
+            self.C = _normalize(np.asarray(centroids, dtype=np.float64))
+        else:
+            rng = np.random.RandomState(seed)
+            self.C = _normalize(rng.standard_normal((num_centroids, dim)))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         B = _normalize(
@@ -159,14 +167,22 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    centroids=None,
 ):
     """Approximate top-k: probe only the nprobe closest IVF buckets per
     query.  Recall < 1 by design; compared against brute force in
-    tests, not against the SQL oracle."""
-    assigner = IvfCentroidAssigner(num_centroids=num_centroids)
+    tests, not against the SQL oracle.  Pass ``centroids`` (e.g. from
+    :func:`kmeans_fit`) to bucket with a trained codebook instead of
+    the hashed default."""
+    assigner = IvfCentroidAssigner(
+        num_centroids=num_centroids, centroids=centroids
+    )
     bucketed = emb_ds.map_batches(
         IvfCentroidAssigner,
-        fn_constructor_kwargs={"num_centroids": num_centroids},
+        fn_constructor_kwargs={
+            "num_centroids": num_centroids,
+            "centroids": centroids,
+        },
         batch_format="pandas",
         concurrency=default_concurrency(),
     )
@@ -184,3 +200,153 @@ def ivf_topk(
     return brute_force_topk(
         pruned, query_ids, k=k, id_col=id_col, query_ds=emb_ds
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) — the trained IVF codebook
+# ---------------------------------------------------------------------------
+#
+# All arithmetic runs on an exact integer grid: v = floor(x * 1024 +
+# 0.5) per dimension (float32 -> float64 -> x1024 are all exact, so
+# Ray and DuckDB quantize identically).  Distances and centroid
+# updates are then pure int64 — associative and order-independent, so
+# the result is bit-stable across any partitioning AND expressible as
+# a SQL oracle (the usual float k-means is neither: summation order
+# changes the means).  Centroid update is the floor-rounded mean
+# m = floor(sum/n + 0.5) = floordiv(2*sum + n, 2*n); a cluster that
+# loses all members keeps its previous centroid.  Ties in assignment
+# break toward the lowest cluster id (np.argmin first-hit == SQL
+# ORDER BY dist, cid).
+#
+# Dataflow per Lloyd iteration: centroids (k x dim int64, a few KB)
+# broadcast by ObjectRef; one streaming map_batches emits <= k partial
+# rows per batch (cluster_id, n, sum vector); a single Ray task merges
+# the partials (k rows total) into the new centroids.  The driver only
+# ever holds the k x dim matrix — never data rows.
+
+KM_SCALE = 1024
+
+
+def quantize_grid(emb_col) -> np.ndarray:
+    X = np.stack(np.asarray(emb_col)).astype(np.float64)
+    return np.floor(X * KM_SCALE + 0.5).astype(np.int64)
+
+
+def _assign_int(X: np.ndarray, C: np.ndarray):
+    """(assign, dist) under exact int64 squared euclidean."""
+    # d(x,c) = |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per row
+    cross = X @ C.T                              # int64 exact
+    score = (C * C).sum(axis=1)[None, :] - 2 * cross
+    a = score.argmin(axis=1)
+    d = (X * X).sum(axis=1) + score[np.arange(len(X)), a]
+    return a.astype(np.int64), d.astype(np.int64)
+
+
+class _KMeansPartials:
+    def __init__(self, cent_ref):
+        self.cent_ref = cent_ref
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        from rex_ray.stages.dedup import _side_object
+
+        C = _side_object(self.cent_ref)
+        if len(batch) == 0:
+            return pa.schema(
+                [
+                    ("cluster_id", pa.int64()),
+                    ("n", pa.int64()),
+                    ("s", pa.list_(pa.int64())),
+                ]
+            ).empty_table()
+        X = quantize_grid(batch["embedding"])
+        a, _ = _assign_int(X, C)
+        k, dim = C.shape
+        counts = np.bincount(a, minlength=k)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, a, X)
+        nz = counts > 0
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    np.flatnonzero(nz).astype(np.int64), pa.int64()
+                ),
+                "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+                "s": pa.array(list(sums[nz]), pa.list_(pa.int64())),
+            }
+        )
+
+
+def kmeans_fit(emb_ds, k: int = 8, iters: int = 2, id_col: str = "vec_id"):
+    """k x dim int64 centroid matrix after ``iters`` Lloyd updates,
+    seeded by the grid vectors of ids 0..k-1."""
+    from rex_ray.stages.dedup import _worker_built_ref
+
+    seeds = (
+        _filter_ids(emb_ds, id_col, list(range(k)))
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    C = quantize_grid(seeds["embedding"])
+
+    for _ in range(iters):
+        ref = ray.put(C)
+        parts = emb_ds.map_batches(
+            _KMeansPartials(ref), batch_format="pandas"
+        )
+
+        def update(tables, _C=C):
+            new = _C.copy()
+            tabs = [t for t in tables if t.num_rows]
+            if not tabs:
+                return new
+            allt = pa.concat_tables(tabs)
+            cid = allt["cluster_id"].to_numpy(zero_copy_only=False)
+            n = allt["n"].to_numpy(zero_copy_only=False)
+            s = np.stack(
+                [np.asarray(x) for x in allt["s"].to_pylist()]
+            ).astype(np.int64)
+            ktot = np.bincount(cid, weights=n, minlength=len(_C)).astype(
+                np.int64
+            )
+            stot = np.zeros_like(new)
+            np.add.at(stot, cid, s)
+            nz = ktot > 0
+            new[nz] = np.floor_divide(
+                2 * stot[nz] + ktot[nz, None], 2 * ktot[nz, None]
+            )
+            return new
+
+        C = ray.get(_worker_built_ref(parts, update))
+    return C
+
+
+def kmeans_assign(emb_ds, C: np.ndarray, id_col: str = "vec_id"):
+    """(id, cluster_id, dist) — final assignment under centroids C;
+    dist is the exact int64 squared grid distance."""
+    ref = ray.put(C)
+
+    def fn(batch: pd.DataFrame, _ref=ref) -> pa.Table:
+        from rex_ray.stages.dedup import _side_object
+
+        Cc = _side_object(_ref)
+        if len(batch) == 0:
+            return pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("cluster_id", pa.int64()),
+                    ("dist", pa.int64()),
+                ]
+            ).empty_table()
+        X = quantize_grid(batch["embedding"])
+        a, d = _assign_int(X, Cc)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cluster_id": pa.array(a, pa.int64()),
+                "dist": pa.array(d, pa.int64()),
+            }
+        )
+
+    return emb_ds.map_batches(fn, batch_format="pandas")

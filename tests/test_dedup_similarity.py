@@ -337,3 +337,53 @@ def test_decontaminate_planted_overlap(ray_session):
     # other gram fully inside benchmark text
     assert out["doc_id"].tolist() == [1]
     assert out["n_hits"].tolist() == [1]
+
+
+def test_kmeans_partition_invariant_and_matches_numpy(emb_ds):
+    """Integer-grid k-means is associative: any repartitioning yields
+    bit-identical centroids, and both equal a single-process numpy
+    reference of the same spec."""
+    from rex_ray.stages.similarity import (
+        _assign_int,
+        kmeans_fit,
+        quantize_grid,
+    )
+
+    C1 = kmeans_fit(emb_ds, k=4, iters=2)
+    C2 = kmeans_fit(emb_ds.repartition(7), k=4, iters=2)
+    assert np.array_equal(C1, C2)
+
+    # single-process reference
+    df = emb_ds.to_pandas().sort_values("vec_id")
+    X = quantize_grid(df["embedding"])
+    C = X[df["vec_id"].to_numpy() < 4]
+    for _ in range(2):
+        a, _ = _assign_int(X, C)
+        new = C.copy()
+        for c in range(4):
+            m = a == c
+            if m.any():
+                s, n = X[m].sum(axis=0), int(m.sum())
+                new[c] = np.floor_divide(2 * s + n, 2 * n)
+        C = new
+    assert np.array_equal(C1, C)
+
+
+def test_ivf_trained_codebook_recall(emb_ds):
+    """IVF bucketing with the kmeans-learned codebook keeps recall
+    against brute force at least as high as a sane floor."""
+    from rex_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    qids = list(range(5))
+    C = kmeans_fit(emb_ds, k=8, iters=2)
+    exact = brute_force_topk(emb_ds, qids, k=5).to_pandas()
+    approx = ivf_topk(
+        emb_ds, qids, k=5, num_centroids=8, nprobe=3, centroids=C
+    ).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.5
