@@ -393,6 +393,17 @@ def q_ta_quality(sf_dir: str):
     )
 
 
+def q_ta_repetition(sf_dir: str):
+    """Gopher-style intra-doc repetition signals: per doc, total /
+    duplicate / top-gram occurrence counts for 2- and 3-grams
+    (integer-exact)."""
+    from rex_ray.stages.textstats import repetition_stats
+
+    return repetition_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_ta_tfidf(sf_dir: str):
     """Distributed TF-IDF per (doc_id, token): one slim doc-token
     shuffle for tf, a vocabulary-sized broadcast for df (no second
@@ -1095,6 +1106,49 @@ SELECT printf('doc-%08d', doc_id) AS doc_id,
 FROM media
 """
 
+# stages/textstats.repetition_stats: per-doc duplicate/top n-gram
+# occurrence counts, n in {2, 3}; docs too short for any n-gram get
+# zeros on the Ray side, mirrored here with LEFT JOIN + COALESCE.
+EXT_SQL["ta_repetition"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g2 AS (
+    SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g
+    FROM toks,
+         LATERAL (SELECT unnest(range(greatest(len(t) - 1, 0))) AS i) u
+),
+c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+s2 AS (
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n2_total,
+           CAST(sum(cnt) - count(*) AS BIGINT) AS n2_dup,
+           CAST(max(cnt) AS BIGINT) AS n2_top
+    FROM c2 GROUP BY doc_id
+),
+g3 AS (
+    SELECT doc_id, array_to_string(t[i+1:i+3], ' ') AS g
+    FROM toks,
+         LATERAL (SELECT unnest(range(greatest(len(t) - 2, 0))) AS i) u
+),
+c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+s3 AS (
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n3_total,
+           CAST(sum(cnt) - count(*) AS BIGINT) AS n3_dup,
+           CAST(max(cnt) AS BIGINT) AS n3_top
+    FROM c3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n2_total, 0) AS n2_total,
+       COALESCE(n2_dup, 0) AS n2_dup,
+       COALESCE(n2_top, 0) AS n2_top,
+       COALESCE(n3_total, 0) AS n3_total,
+       COALESCE(n3_dup, 0) AS n3_dup,
+       COALESCE(n3_top, 0) AS n3_top
+FROM documents d
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s3 USING (doc_id)
+"""
+
 # stages/similarity.py k-means: exact integer grid v = floor(x*1024 +
 # 0.5); centroid update m = floordiv(2*sum + n, 2*n) (floor-div
 # emulated below since DuckDB's // truncates toward zero); empty
@@ -1243,6 +1297,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_quality": q_ta_quality,
     "ta_word_freq": q_ta_word_freq,
     "ta_tfidf": q_ta_tfidf,
+    "ta_repetition": q_ta_repetition,
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,

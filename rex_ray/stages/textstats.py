@@ -337,3 +337,66 @@ def tf_idf(docs_ds, n_docs: int):
         )
 
     return tf.map_batches(score, batch_format="pyarrow")
+
+
+def repetition_stats(docs_ds, ns=(2, 3)):
+    """Gopher-style intra-document repetition signals (Rae et al.
+    2021 §A1.1, adapted to integer-exact form): for each n in ``ns``,
+    per doc — total n-gram occurrences, duplicate occurrences
+    (total - distinct), and the top gram's occurrence count.  All
+    int64, so the DuckDB oracle agrees exactly (no float fraction
+    contract needed; consumers divide downstream).
+
+    One streaming map_batches; grams are hashed batch-wide (md5-64,
+    :func:`functions.hashing.md5_hash64_batch`) and per-doc run
+    statistics come from one segmented lexsort — no Python loop past
+    gram string assembly.
+    """
+    from rex_ray.functions import hashing as H
+
+    def gram_stats(texts, n):
+        grams: list = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            k = max(len(toks) - n + 1, 0)
+            counts[i] = k
+            grams.extend(
+                " ".join(toks[j : j + n]) for j in range(k)
+            )
+        total = counts
+        distinct = np.zeros(len(texts), dtype=np.int64)
+        top = np.zeros(len(texts), dtype=np.int64)
+        if grams:
+            hv = H.md5_hash64_batch(grams)
+            parent = np.repeat(np.arange(len(texts)), counts)
+            order = np.lexsort((hv, parent))
+            p, h = parent[order], hv[order]
+            new_run = np.empty(len(p), dtype=bool)
+            new_run[0] = True
+            new_run[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+            starts = np.flatnonzero(new_run)
+            run_len = np.diff(np.append(starts, len(p)))
+            run_doc = p[starts]
+            distinct = np.bincount(
+                run_doc, minlength=len(texts)
+            ).astype(np.int64)
+            top = np.zeros(len(texts), dtype=np.int64)
+            np.maximum.at(top, run_doc, run_len)
+        return total, total - distinct, top
+
+    def per_batch(batch: pd.DataFrame) -> pa.Table:
+        texts = list(batch["text"])
+        cols = {
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy().astype(np.int64), pa.int64()
+            )
+        }
+        for n in ns:
+            tot, dup, top = gram_stats(texts, n)
+            cols[f"n{n}_total"] = pa.array(tot, pa.int64())
+            cols[f"n{n}_dup"] = pa.array(dup, pa.int64())
+            cols[f"n{n}_top"] = pa.array(top, pa.int64())
+        return pa.table(cols)
+
+    return docs_ds.map_batches(per_batch, batch_format="pandas")

@@ -387,3 +387,25 @@ def test_ivf_trained_codebook_recall(emb_ds):
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_repetition_stats_hand_computed(ray_session):
+    import ray
+
+    from rex_ray.stages.textstats import repetition_stats
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b a b a"},
+            {"doc_id": 1, "text": "solo"},
+        ]
+    )
+    out = repetition_stats(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    # doc 0 bigrams: ab ba ab ba -> total 4, dup 2, top 2
+    # doc 0 trigrams: aba bab aba -> total 3, dup 1, top 2
+    assert out.loc[0, ["n2_total", "n2_dup", "n2_top"]].tolist() == [4, 2, 2]
+    assert out.loc[0, ["n3_total", "n3_dup", "n3_top"]].tolist() == [3, 1, 2]
+    assert out.loc[1, ["n2_total", "n2_dup", "n2_top"]].tolist() == [0, 0, 0]
+    assert out.loc[1, ["n3_total", "n3_dup", "n3_top"]].tolist() == [0, 0, 0]
