@@ -53,6 +53,13 @@ BENCH_QUERIES = [
     "kg_two_hop_paths",              # store self-join path mining
     "kg_triple_provenance",          # distinct-doc evidence aggregate
     "ta_tfidf",                      # broadcast-df TF-IDF
+    # round-2c additions
+    "dd_decontam",                   # broadcast n-gram benchmark probe
+    "ann_kmeans",                    # integer-grid Lloyd codebook
+    "ta_repetition",                 # Gopher repetition signals
+    "ta_redact",                     # compiled-regex scrubbing actor
+
+    "mm_media_context",              # media-text neighbor alignment
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

@@ -404,6 +404,24 @@ def q_ta_repetition(sf_dir: str):
     )
 
 
+REDACT_PATTERNS = (
+    (r"\bcustomer\b", "[PII1]"),
+    (r"\bline\b", "[PII2]"),
+)
+
+
+def q_ta_redact(sf_dir: str):
+    """Regex PII scrubbing (compiled-pattern actor pool).  Patterns
+    here are chosen to fire on the synthetic corpus; production
+    defaults (email/phone/IP) live in `stages/textstats.PII_PATTERNS`."""
+    from rex_ray.stages.textstats import scrub_patterns
+
+    return scrub_patterns(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        patterns=REDACT_PATTERNS,
+    )
+
+
 def q_ta_tfidf(sf_dir: str):
     """Distributed TF-IDF per (doc_id, token): one slim doc-token
     shuffle for tf, a vocabulary-sized broadcast for df (no second
@@ -1106,6 +1124,20 @@ SELECT printf('doc-%08d', doc_id) AS doc_id,
 FROM media
 """
 
+# stages/textstats.PatternScrubber with the query's corpus-firing
+# patterns; counts on original text, sequential replace (replacements
+# never re-create a pattern).
+EXT_SQL["ta_redact"] = r"""
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(text, '\bcustomer\b', '[PII1]', 'g'),
+           '\bline\b', '[PII2]', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '\bcustomer\b'))
+            + len(regexp_extract_all(text, '\bline\b'))
+            AS BIGINT) AS n_pii
+FROM documents
+"""
+
 # stages/textstats.repetition_stats: per-doc duplicate/top n-gram
 # occurrence counts, n in {2, 3}; docs too short for any n-gram get
 # zeros on the Ray side, mirrored here with LEFT JOIN + COALESCE.
@@ -1298,6 +1330,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_word_freq": q_ta_word_freq,
     "ta_tfidf": q_ta_tfidf,
     "ta_repetition": q_ta_repetition,
+    "ta_redact": q_ta_redact,
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,

@@ -400,3 +400,56 @@ def repetition_stats(docs_ds, ns=(2, 3)):
         return pa.table(cols)
 
     return docs_ds.map_batches(per_batch, batch_format="pandas")
+
+
+# Default PII-shaped scrub patterns (email / phone / IPv4).  The
+# synthetic corpus contains none of these; the ta_redact query uses
+# patterns that do fire there so the dataflow is exercised end to end.
+PII_PATTERNS = (
+    (r"[\w.+-]+@[\w-]+\.[\w.]+", "[EMAIL]"),
+    (r"\+?\d[\d -]{7,}\d", "[PHONE]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+)
+
+
+class PatternScrubber:
+    """(doc_id, text) -> (doc_id, clean_text, n_pii): regex redaction
+    with per-actor compiled patterns (compile once in ``__init__``,
+    vectorized pandas str kernels per batch).  Counts are taken on the
+    ORIGINAL text and replacements applied sequentially; replacement
+    strings must not re-create any pattern (true of the defaults).
+    Patterns are intersection-of-RE2-and-Python syntax so a DuckDB
+    oracle can replay them with regexp_replace/extract_all."""
+
+    def __init__(self, patterns=PII_PATTERNS):
+        import re
+
+        self.patterns = [
+            (re.compile(p), repl) for p, repl in patterns
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n = np.zeros(len(batch), dtype=np.int64)
+        clean = text
+        for rx, repl in self.patterns:
+            n += text.str.count(rx).to_numpy(dtype=np.int64)
+            clean = clean.str.replace(rx, repl, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "clean_text": clean,
+                "n_pii": n,
+            }
+        )
+
+
+def scrub_patterns(docs_ds, patterns=PII_PATTERNS):
+    from rex_ray.functions.blocks import default_concurrency
+
+    return docs_ds.map_batches(
+        PatternScrubber,
+        fn_constructor_kwargs={"patterns": tuple(patterns)},
+        batch_format="pandas",
+        concurrency=default_concurrency(),
+    )

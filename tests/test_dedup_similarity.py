@@ -409,3 +409,25 @@ def test_repetition_stats_hand_computed(ray_session):
     assert out.loc[0, ["n3_total", "n3_dup", "n3_top"]].tolist() == [3, 1, 2]
     assert out.loc[1, ["n2_total", "n2_dup", "n2_top"]].tolist() == [0, 0, 0]
     assert out.loc[1, ["n3_total", "n3_dup", "n3_top"]].tolist() == [0, 0, 0]
+
+
+def test_pattern_scrubber_pii_defaults():
+    """Default email/phone/IP patterns redact and count correctly
+    (pure-pandas unit, no Ray)."""
+    from rex_ray.stages.textstats import PatternScrubber
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "mail a.b+c@host.example.com or call +1 555 123 4567 now",
+                "server at 10.0.0.1 clean otherwise",
+            ],
+        }
+    )
+    out = PatternScrubber()(batch)
+    assert out["n_pii"].tolist() == [2, 1]
+    assert "[EMAIL]" in out.loc[0, "clean_text"]
+    assert "[PHONE]" in out.loc[0, "clean_text"]
+    assert out.loc[1, "clean_text"] == "server at [IP] clean otherwise"
+    assert "@" not in out.loc[0, "clean_text"]
