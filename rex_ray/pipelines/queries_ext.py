@@ -422,6 +422,16 @@ def q_ta_redact(sf_dir: str):
     )
 
 
+def q_ta_bpe_pairs(sf_dir: str):
+    """Adjacent char-pair frequencies (BPE training step 1) as a
+    bounded-partial distributed count."""
+    from rex_ray.stages.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_ta_tfidf(sf_dir: str):
     """Distributed TF-IDF per (doc_id, token): one slim doc-token
     shuffle for tf, a vocabulary-sized broadcast for df (no second
@@ -1124,6 +1134,20 @@ SELECT printf('doc-%08d', doc_id) AS doc_id,
 FROM media
 """
 
+# stages/textstats.bpe_pair_counts: pairs within words only (the Ray
+# side masks the token separator), codes decoded back to chars.
+EXT_SQL["ta_bpe_pairs"] = """
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+    SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b
+    FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS freq
+FROM pairs GROUP BY a, b
+"""
+
 # stages/textstats.PatternScrubber with the query's corpus-firing
 # patterns; counts on original text, sequential replace (replacements
 # never re-create a pattern).
@@ -1331,6 +1355,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_tfidf": q_ta_tfidf,
     "ta_repetition": q_ta_repetition,
     "ta_redact": q_ta_redact,
+    "ta_bpe_pairs": q_ta_bpe_pairs,
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,

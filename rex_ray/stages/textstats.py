@@ -453,3 +453,63 @@ def scrub_patterns(docs_ds, patterns=PII_PATTERNS):
         batch_format="pandas",
         concurrency=default_concurrency(),
     )
+
+
+def bpe_pair_counts(docs_ds):
+    """Corpus-wide adjacent character-pair frequencies — step 1 of a
+    BPE tokenizer-training loop (Sennrich et al. ACL'16) run as a
+    distributed counting pass: each batch joins its tokens into one
+    byte buffer and bincounts 2-byte pair codes (pairs straddling the
+    token separator masked out), emitting at most 65,536 partial rows
+    per batch regardless of corpus size; one tiny groupby merges
+    partials.  ASCII corpus fast path; a non-ASCII batch falls back to
+    codepoint arrays with np.unique (same semantics, no bincount cap).
+
+    Output: (a, b, freq) — the pair a DuckDB substring oracle can
+    recount exactly.
+    """
+    from rex_ray.functions.blocks import pre_shuffle
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        joined = " ".join(batch["text"])
+        if not joined:
+            return pa.schema(
+                [("code", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        if joined.isascii():
+            b = np.frombuffer(joined.encode(), dtype=np.uint8)
+        else:
+            b = np.fromiter(map(ord, joined), dtype=np.int64)
+        lo, hi = b[:-1].astype(np.int64), b[1:].astype(np.int64)
+        mask = (lo != 32) & (hi != 32)
+        codes = lo[mask] * 0x110000 + hi[mask]
+        uniq, counts = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "code": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        pre_shuffle(docs_ds.map_batches(partial, batch_format="pandas"))
+        .groupby("code")
+        .aggregate(Sum("n", alias_name="freq"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        code = t["code"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(
+                    [chr(c) for c in code // 0x110000], pa.string()
+                ),
+                "b": pa.array(
+                    [chr(c) for c in code % 0x110000], pa.string()
+                ),
+                "freq": t["freq"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(decode, batch_format="pyarrow")

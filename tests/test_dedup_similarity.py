@@ -431,3 +431,17 @@ def test_pattern_scrubber_pii_defaults():
     assert "[PHONE]" in out.loc[0, "clean_text"]
     assert out.loc[1, "clean_text"] == "server at [IP] clean otherwise"
     assert "@" not in out.loc[0, "clean_text"]
+
+
+def test_bpe_pair_counts_hand_computed(ray_session):
+    import ray
+
+    from rex_ray.stages.textstats import bpe_pair_counts
+
+    docs = ray.data.from_items(
+        [{"doc_id": 0, "text": "ab ab"}, {"doc_id": 1, "text": "abc"}]
+    )
+    out = bpe_pair_counts(docs).to_pandas()
+    got = {(r.a, r.b): r.freq for r in out.itertuples()}
+    # "ab" x2 and "abc": pairs ab,ab,ab,bc
+    assert got == {("a", "b"): 3, ("b", "c"): 1}
