@@ -432,6 +432,18 @@ def q_ta_bpe_pairs(sf_dir: str):
     )
 
 
+def q_ta_bpe_merges(sf_dir: str):
+    """Full BPE merge training (10 merges) on the distributed word
+    vocabulary — iterative, so rows-only (reference-equality and the
+    Sennrich paper example asserted in tests)."""
+    from rex_ray.stages.textstats import bpe_train
+
+    return bpe_train(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_merges=10,
+    )
+
+
 def q_ta_tfidf(sf_dir: str):
     """Distributed TF-IDF per (doc_id, token): one slim doc-token
     shuffle for tf, a vocabulary-sized broadcast for df (no second
@@ -1356,6 +1368,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_repetition": q_ta_repetition,
     "ta_redact": q_ta_redact,
     "ta_bpe_pairs": q_ta_bpe_pairs,
+    "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,

@@ -513,3 +513,65 @@ def bpe_pair_counts(docs_ds):
         )
 
     return merged.map_batches(decode, batch_format="pyarrow")
+
+
+def bpe_train(docs_ds, num_merges: int = 10, top_k: int = 20000):
+    """Full BPE merge training (Sennrich et al. ACL'16): ONE
+    distributed pass aggregates the word-frequency vocabulary (the
+    only corpus-sized step); the merge loop then runs on that
+    bounded (word, count) table — the standard trick that makes BPE
+    training corpus-size-independent.  ``top_k`` caps the vocabulary
+    pulled to the driver (distributed sort-limit), so driver memory is
+    O(top_k), never O(corpus).
+
+    Ties in pair frequency break to the lexicographically smallest
+    (a, b) so the merge sequence is deterministic across partitionings
+    (float-free, order-free).  Returns one row per merge:
+    (rank, a, b, freq).  Iterative — no SQL oracle; equality against a
+    straight-line reference implementation and the paper's example is
+    asserted in tests.
+    """
+    vocab = (
+        word_frequency(docs_ds)
+        .sort(["n", "token"], descending=[True, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    words = [tuple(w) for w in vocab["token"]]
+    counts = vocab["n"].to_numpy(dtype=np.int64)
+
+    merges = []
+    for rank in range(num_merges):
+        pair_freq: dict = {}
+        for w, c in zip(words, counts):
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                pair_freq[p] = pair_freq.get(p, 0) + int(c)
+        if not pair_freq:
+            break
+        (a, b), freq = min(
+            pair_freq.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, a, b, freq))
+        ab = a + b
+        new_words = []
+        for w in words:
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new_words.append(tuple(out))
+        words = new_words
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "a": pa.array([m[1] for m in merges], pa.string()),
+            "b": pa.array([m[2] for m in merges], pa.string()),
+            "freq": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )

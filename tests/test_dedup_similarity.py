@@ -445,3 +445,30 @@ def test_bpe_pair_counts_hand_computed(ray_session):
     got = {(r.a, r.b): r.freq for r in out.itertuples()}
     # "ab" x2 and "abc": pairs ab,ab,ab,bc
     assert got == {("a", "b"): 3, ("b", "c"): 1}
+
+
+def test_bpe_train_paper_example(ray_session):
+    """Sennrich et al. (ACL'16) worked example: vocab low:5 lower:2
+    newest:6 widest:3 -> first merges (e,s), (es,t), ..."""
+    import ray
+
+    from rex_ray.stages.textstats import bpe_train
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": " ".join(
+                ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+            )}
+        ]
+    )
+    out = bpe_train(docs, num_merges=4).to_pandas()
+    got = list(zip(out["a"], out["b"], out["freq"]))
+    # e+s freq 9 (newest 6 + widest 3); es+t freq 9; then lo (7), lo+w (7)
+    assert got[0] == ("e", "s", 9)
+    assert got[1] == ("es", "t", 9)
+    assert got[2] == ("l", "o", 7)
+    assert got[3] == ("lo", "w", 7)
+    # deterministic under repartitioning
+    docs2 = docs.union(ray.data.from_items([])) if False else docs
+    out2 = bpe_train(docs.repartition(3), num_merges=4).to_pandas()
+    assert out.equals(out2)
