@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ann_kmeans",                    # integer-grid Lloyd codebook
     "ta_repetition",                 # Gopher repetition signals
     "ta_redact",                     # compiled-regex scrubbing actor
+    "ta_bpe_pairs",                  # bounded-partial pair bincount
 
     "mm_media_context",              # media-text neighbor alignment
 ]
