@@ -621,6 +621,17 @@ def q_ann_kmeans(sf_dir: str):
     return kmeans_assign(emb, C)
 
 
+def q_dd_substring_runs(sf_dir: str):
+    """Maximal cross-doc duplicated token runs (>= 8 tokens), the
+    substring-level dedup pass (Lee et al. 2021) via n-gram anchors +
+    diagonal island merge."""
+    from rex_ray.stages.dedup import substring_dup_runs
+
+    return substring_dup_runs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_dd_decontam(sf_dir: str):
     """Benchmark decontamination: training docs (doc_id % 10 != 0)
     sharing any distinct 8-gram with the benchmark partition
@@ -1290,6 +1301,40 @@ SELECT vec_id, cid AS cluster_id, CAST(d AS BIGINT) AS dist FROM (
 ) WHERE rn = 1
 """
 
+# stages/dedup.substring_dup_runs: n=8 anchors, grams occurring more
+# than 50 times corpus-wide skipped (same cap on both sides), islands
+# = consecutive pos_a on one (doc_a, doc_b, diag) diagonal.
+EXT_SQL["dd_substring_runs"] = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
+    FROM toks,
+         LATERAL (SELECT unnest(range(greatest(len(t) - 7, 0))) AS i) u
+),
+ok AS (SELECT g FROM grams GROUP BY g
+       HAVING count(*) BETWEEN 2 AND 50),
+m AS (
+    SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb
+    FROM grams a
+    JOIN ok USING (g)
+    JOIN grams b USING (g)
+    WHERE a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT da, db, pa - pb AS diag, pa,
+           pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                   ORDER BY pa) AS grp
+    FROM m
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(min(pa) AS BIGINT) AS start_a,
+       CAST(min(pa) - diag AS BIGINT) AS start_b,
+       CAST(count(*) + 7 AS BIGINT) AS len_tokens
+FROM isl GROUP BY da, db, diag, grp
+"""
+
 # stages/decontam.py: n=8 token grams, benchmark = doc_id % 10 == 0.
 # The Ray side joins on md5-64 gram hashes; the oracle joins on the
 # gram strings themselves (equivalent up to md5-64 collisions).
@@ -1378,6 +1423,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_simhash_pairs": q_dd_simhash_pairs,
     "dd_embedding_pairs": q_dd_embedding_pairs,
     "dd_decontam": q_dd_decontam,
+    "dd_substring_runs": q_dd_substring_runs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_kmeans": q_ann_kmeans,

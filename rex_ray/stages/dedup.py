@@ -687,3 +687,126 @@ def dedup_survivors(docs_ds, threshold: float = 0.8, k: int = 3):
     return docs_ds.select_columns(["doc_id"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-run dedup (Lee et al. 2021 "Deduplicating Training
+# Data Makes Language Models Better" — the suffix-array pass, recast
+# as n-gram anchor matching + diagonal island merging)
+# ---------------------------------------------------------------------------
+
+def substring_dup_runs(docs_ds, n: int = 8, max_gram_occ: int = 50):
+    """Maximal cross-document duplicated token runs of length >= n.
+
+    Three-stage dataflow, every shuffle row a few int64s:
+
+      1. anchor rows — one streaming pass emits (h, doc_id, pos) per
+         n-gram position (md5-64 hash; text never enters a shuffle);
+      2. ``groupby(h)`` -> cross-doc matched positions (doc_a < doc_b).
+         Grams occurring more than ``max_gram_occ`` times corpus-wide
+         are skipped (the Lee-et-al-style hot-anchor cap: a gram in f
+         positions yields O(f^2) pairs; boilerplate/templates would
+         otherwise dominate the exchange).  The cap is part of the
+         operator contract and the oracle applies the same rule;
+      3. matches on one (doc_a, doc_b) diagonal (pos_a - pos_b
+         constant) with consecutive pos_a merge into maximal islands
+         -> (doc_a, doc_b, start_a, start_b, len_tokens) with
+         len_tokens = run_grams + n - 1.
+
+    Partitioning note: stage 3 groups by (doc_a, doc_b, diag), so a
+    single pathological pair cannot skew beyond its own match count,
+    which stage 2's cap already bounds.
+    """
+    from rex_ray.functions import hashing as H
+    from rex_ray.functions.blocks import arrow_block, pre_shuffle
+
+    def anchor_rows(batch: pd.DataFrame) -> pa.Table:
+        grams: list = []
+        counts = np.empty(len(batch), dtype=np.int64)
+        texts = list(batch["text"])
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            k = max(len(toks) - n + 1, 0)
+            counts[i] = k
+            grams.extend(" ".join(toks[j : j + n]) for j in range(k))
+        if not grams:
+            return pa.schema(
+                [
+                    ("h", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("pos", pa.int64()),
+                ]
+            ).empty_table()
+        hv = H.md5_hash64_batch(grams).view(np.int64)
+        parent = np.repeat(np.arange(len(batch)), counts)
+        pos = np.arange(len(grams), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        doc = batch["doc_id"].to_numpy().astype(np.int64)[parent]
+        return pa.table(
+            {
+                "h": pa.array(hv, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    anchors = pre_shuffle(
+        docs_ds.map_batches(anchor_rows, batch_format="pandas")
+    )
+
+    def cross_pairs(g: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("diag", pa.int64()),
+                ("pos_a", pa.int64()),
+            ]
+        )
+        if len(g) < 2 or len(g) > max_gram_occ:
+            return out_schema.empty_table()
+        d = g["doc_id"].to_numpy()
+        p = g["pos"].to_numpy()
+        ia, ib = np.triu_indices(len(g), k=1)
+        swap = d[ia] > d[ib]
+        ia[swap], ib[swap] = ib[swap], ia[swap]
+        keep = d[ia] < d[ib]
+        ia, ib = ia[keep], ib[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(d[ia], pa.int64()),
+                "doc_b": pa.array(d[ib], pa.int64()),
+                "diag": pa.array(p[ia] - p[ib], pa.int64()),
+                "pos_a": pa.array(p[ia], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    matches = anchors.groupby("h").map_groups(
+        cross_pairs, batch_format="pandas"
+    )
+
+    def islands(g: pd.DataFrame) -> pa.Table:
+        pos = np.sort(g["pos_a"].to_numpy())
+        brk = np.flatnonzero(np.diff(pos) != 1)
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk, [len(pos) - 1]])
+        run_len = pos[ends] - pos[starts] + 1
+        da = int(g["doc_a"].iloc[0])
+        db = int(g["doc_b"].iloc[0])
+        diag = int(g["diag"].iloc[0])
+        sa = pos[starts]
+        return pa.table(
+            {
+                "doc_a": pa.array(np.full(len(sa), da), pa.int64()),
+                "doc_b": pa.array(np.full(len(sa), db), pa.int64()),
+                "start_a": pa.array(sa, pa.int64()),
+                "start_b": pa.array(sa - diag, pa.int64()),
+                "len_tokens": pa.array(run_len + n - 1, pa.int64()),
+            }
+        )
+
+    return pre_shuffle(matches).groupby(
+        ["doc_a", "doc_b", "diag"]
+    ).map_groups(islands, batch_format="pandas")

@@ -472,3 +472,26 @@ def test_bpe_train_paper_example(ray_session):
     docs2 = docs.union(ray.data.from_items([])) if False else docs
     out2 = bpe_train(docs.repartition(3), num_merges=4).to_pandas()
     assert out.equals(out2)
+
+
+def test_substring_dup_runs_planted(ray_session):
+    """Two docs sharing a 12-token run -> ONE maximal island of
+    len_tokens=12 (not five 8-gram hits); a third unrelated doc
+    contributes nothing."""
+    import ray
+
+    from rex_ray.stages.dedup import substring_dup_runs
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": f"p q r {shared} z1 z2"},
+            {"doc_id": 2, "text": f"{shared} tail0 tail1 tail2"},
+            {"doc_id": 3, "text": " ".join(f"u{i}" for i in range(20))},
+        ]
+    )
+    out = substring_dup_runs(docs).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert (r.start_a, r.start_b, r.len_tokens) == (3, 0, 12)
