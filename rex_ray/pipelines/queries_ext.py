@@ -621,6 +621,17 @@ def q_ann_kmeans(sf_dir: str):
     return kmeans_assign(emb, C)
 
 
+def q_dd_line_dedup(sf_dir: str):
+    """Duplicated-line pass (CCNet / Dolma exact paragraph dedup):
+    per-doc counts of distinct segments shared with another document;
+    segments are 12-token chunks of the dedup-normalized stream."""
+    from rex_ray.stages.dedup import segment_dup_stats
+
+    return segment_dup_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_dd_substring_runs(sf_dir: str):
     """Maximal cross-doc duplicated token runs (>= 8 tokens), the
     substring-level dedup pass (Lee et al. 2021) via n-gram anchors +
@@ -1304,6 +1315,32 @@ SELECT vec_id, cid AS cluster_id, CAST(d AS BIGINT) AS dist FROM (
 # stages/dedup.substring_dup_runs: n=8 anchors, grams occurring more
 # than 50 times corpus-wide skipped (same cap on both sides), islands
 # = consecutive pos_a on one (doc_a, doc_b, diag) diagonal.
+EXT_SQL["dd_line_dedup"] = """
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x != 'dup') AS ts
+    FROM documents
+),
+segs AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ts[i * 12 + 1:(i + 1) * 12], ' ') AS seg
+    FROM base,
+         LATERAL (SELECT unnest(range((len(ts) + 11) // 12)) AS i) u
+),
+dup AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) >= 2),
+tot AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+    FROM segs GROUP BY doc_id
+),
+dups AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_segments
+    FROM segs JOIN dup USING (seg) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segments,
+       COALESCE(d.n_dup_segments, CAST(0 AS BIGINT)) AS n_dup_segments
+FROM tot t LEFT JOIN dups d USING (doc_id)
+"""
+
 EXT_SQL["dd_substring_runs"] = """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1424,6 +1461,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_embedding_pairs": q_dd_embedding_pairs,
     "dd_decontam": q_dd_decontam,
     "dd_substring_runs": q_dd_substring_runs,
+    "dd_line_dedup": q_dd_line_dedup,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_kmeans": q_ann_kmeans,

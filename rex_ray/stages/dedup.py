@@ -810,3 +810,127 @@ def substring_dup_runs(docs_ds, n: int = 8, max_gram_occ: int = 50):
     return pre_shuffle(matches).groupby(
         ["doc_a", "doc_b", "diag"]
     ).map_groups(islands, batch_format="pandas")
+
+# ---------------------------------------------------------------------------
+# line/segment-level exact dedup (CCNet / Dolma paragraph-dedup pass)
+# ---------------------------------------------------------------------------
+
+SEG_TOKENS = 12
+
+
+def _segment_rows(batch: pd.DataFrame, seg_tokens: int) -> pa.Table:
+    """Per-doc DISTINCT segment hashes: (h:int64, doc_id:int64).
+
+    Segments are consecutive ``seg_tokens``-token chunks of the
+    dedup-normalized token stream (the 'dup' markers dropped, the same
+    normalization the exact-dedup family uses).  Real corpora with
+    newline structure pass newline-split rows instead — the corpus-wide
+    counting core below is identical either way.
+    """
+    segs: list = []
+    counts = np.empty(len(batch), dtype=np.int64)
+    for i, t in enumerate(batch["text"]):
+        toks = [x for x in t.split(" ") if x != "dup"]
+        k = (len(toks) + seg_tokens - 1) // seg_tokens
+        # distinct within doc (a doc is one row, so per-row set IS the
+        # per-doc distinct — no cross-batch reconciliation needed)
+        uniq = {
+            " ".join(toks[j * seg_tokens : (j + 1) * seg_tokens])
+            for j in range(k)
+        }
+        counts[i] = len(uniq)
+        segs.extend(sorted(uniq))
+    if not segs:
+        return pa.schema(
+            [("h", pa.int64()), ("doc_id", pa.int64())]
+        ).empty_table()
+    hv = H.md5_hash64_batch(segs).view(np.int64)
+    doc = np.repeat(
+        batch["doc_id"].to_numpy().astype(np.int64), counts
+    )
+    return pa.table(
+        {"h": pa.array(hv, pa.int64()), "doc_id": pa.array(doc, pa.int64())}
+    )
+
+
+def segment_dup_stats(docs_ds, seg_tokens: int = SEG_TOKENS,
+                      num_partitions: int = None):
+    """Duplicated-line pass (CCNet, Wenzek et al. 2020; Dolma's exact
+    paragraph dedup): count, per document, how many of its distinct
+    segments also occur in at least one OTHER document.
+
+    (doc_id, text) -> (doc_id, n_segments, n_dup_segments); counts are
+    exact int64 (consumers derive the drop fraction downstream).
+
+    Dataflow — every shuffle row is two int64s, text never enters an
+    exchange:
+
+      1. one streaming pass emits per-doc distinct (h=md5-64(segment),
+         doc_id) rows; a second independent cheap pass over the same
+         pruned (doc_id, text) read emits per-doc totals map-side
+         (re-reading beats materializing the exploded rows);
+      2. ``groupby(h)`` -> distinct-doc count per segment; segments
+         with >= 2 docs form the dup-hash table (kept distributed —
+         on a boilerplate-heavy crawl it is O(shared lines), far too
+         big to broadcast);
+      3. segment rows inner-join the dup-hash table on ``h`` (16-byte
+         keys), ``groupby(doc_id)`` -> n_dup_segments;
+      4. totals LEFT join the dup counts on doc_id, nulls -> 0.
+    """
+    from ray.data.aggregate import Count
+
+    from rex_ray.functions.blocks import compact_blocks
+    from rex_ray.stages.relational import (
+        default_join_partitions,
+        hash_join,
+    )
+
+    nparts = num_partitions or default_join_partitions()
+
+    seg_rows = pre_shuffle(
+        docs_ds.map_batches(
+            lambda b, _s=seg_tokens: _segment_rows(b, _s),
+            batch_format="pandas",
+        )
+    )
+    per_seg = seg_rows.groupby("h").aggregate(Count(alias_name="n_docs"))
+    dup_hashes = compact_blocks(
+        per_seg.filter(expr="n_docs >= 2").select_columns(["h"])
+    )
+
+    dup_counts = (
+        hash_join(seg_rows, dup_hashes, on="h", num_partitions=nparts)
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_dup_segments"))
+    )
+
+    def totals(batch: pd.DataFrame) -> pa.Table:
+        t = _segment_rows(batch, seg_tokens)
+        g = (
+            t.to_pandas().groupby("doc_id", sort=False).size()
+            .rename("n_segments").reset_index()
+        )
+        g["n_segments"] = g["n_segments"].astype("int64")
+        return arrow_block(g)
+
+    totals_ds = docs_ds.map_batches(totals, batch_format="pandas")
+
+    joined = hash_join(
+        compact_blocks(totals_ds),
+        compact_blocks(dup_counts),
+        on="doc_id",
+        num_partitions=nparts,
+        join_type="left_outer",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nd = t["n_dup_segments"].to_pandas().fillna(0).astype("int64")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_segments": t["n_segments"].cast(pa.int64()),
+                "n_dup_segments": pa.array(nd, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

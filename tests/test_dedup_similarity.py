@@ -495,3 +495,54 @@ def test_substring_dup_runs_planted(ray_session):
     r = out.iloc[0]
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert (r.start_a, r.start_b, r.len_tokens) == (3, 0, 12)
+
+
+def test_segment_dup_stats_matches_local(docs_ds):
+    """dd_line_dedup core vs a local pandas recompute at sf0.001, and
+    planted whole-doc duplicates must share ALL their segments."""
+    import pandas as pd
+
+    from rex_ray.stages.dedup import SEG_TOKENS, segment_dup_stats
+    from rex_ray.stages.dedup import exact_dedup_groups
+
+    got = (
+        segment_dup_stats(docs_ds)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    docs = docs_ds.to_pandas()
+    rows = []
+    for _, r in docs.iterrows():
+        toks = [x for x in r["text"].split(" ") if x != "dup"]
+        k = (len(toks) + SEG_TOKENS - 1) // SEG_TOKENS
+        segs = {
+            " ".join(toks[j * SEG_TOKENS:(j + 1) * SEG_TOKENS])
+            for j in range(k)
+        }
+        for s in segs:
+            rows.append((int(r["doc_id"]), s))
+    df = pd.DataFrame(rows, columns=["doc_id", "seg"])
+    nd = df.groupby("seg")["doc_id"].nunique()
+    dup_segs = set(nd[nd >= 2].index)
+    want = (
+        df.groupby("doc_id")
+        .agg(
+            n_segments=("seg", "size"),
+            n_dup_segments=("seg", lambda s: sum(x in dup_segs for x in s)),
+        )
+        .reset_index()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+
+    # planted exact-dup groups: every member's segments are corpus-dup
+    g = exact_dedup_groups(docs_ds).to_pandas()
+    assert (g["group_size"] >= 2).any()
+    dup_group_docs = set(
+        g.loc[g["group_size"] >= 2, "survivor_doc_id"].astype(int)
+    )
+    flagged = got[got["n_dup_segments"] == got["n_segments"]]
+    assert dup_group_docs <= set(flagged["doc_id"].astype(int))
