@@ -632,6 +632,18 @@ def q_dd_line_dedup(sf_dir: str):
     )
 
 
+def q_dd_curation(sf_dir: str):
+    """Corpus-curation decision table (FineWeb/Dolma-style): per-doc
+    keep flag + ordered reason codes (benchmark holdout, exact dup,
+    contamination, language mismatch, low quality) composed from the
+    engine's own signal stages."""
+    from rex_ray.pipelines.curation import curate_corpus
+
+    return curate_corpus(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+
+
 def q_dd_substring_runs(sf_dir: str):
     """Maximal cross-doc duplicated token runs (>= 8 tokens), the
     substring-level dedup pass (Lee et al. 2021) via n-gram anchors +
@@ -1341,6 +1353,88 @@ SELECT t.doc_id, t.n_segments,
 FROM tot t LEFT JOIN dups d USING (doc_id)
 """
 
+EXT_SQL["dd_curation"] = f"""
+WITH surv AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS survivor_doc_id
+    FROM (SELECT doc_id, {{NORM}} AS k FROM documents)
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+    SELECT doc_id, array_to_string(t[i+1:i+8], ' ') AS g
+    FROM toks,
+         LATERAL (SELECT unnest(range(greatest(len(t) - 7, 0))) AS i) u
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+contam AS (
+    SELECT DISTINCT tg.doc_id
+    FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 <> 0) tg
+    JOIN bg USING (g)
+),
+hits AS (
+    SELECT doc_id, lang,
+           {{H_DE}} AS h_de, {{H_EN}} AS h_en,
+           {{H_ES}} AS h_es, {{H_FR}} AS h_fr
+    FROM documents
+),
+pred AS (
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM hits
+),
+qual AS (
+    SELECT doc_id,
+           0.5 * least(1.0, n_tokens / 64.0)
+           + 0.3 * distinct_ratio
+           + 0.2 * least(1.0, 5.0 * stopword_ratio) AS quality_score
+    FROM (
+        SELECT doc_id, n_tokens,
+               CAST(len(list_distinct(ts)) AS DOUBLE) / n_tokens
+                   AS distinct_ratio,
+               CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio
+        FROM (
+            SELECT doc_id,
+                   string_split(text, ' ') AS ts,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x IN ({{QSTOP}}))) AS BIGINT)
+                       AS stop_hits
+            FROM documents))
+),
+flags AS (
+    SELECT d.doc_id,
+           d.doc_id % 10 = 0 AS f_bench,
+           s.doc_id <> s.survivor_doc_id AS f_dup,
+           c.doc_id IS NOT NULL AS f_contam,
+           p.pred_lang <> p.lang AS f_lang,
+           q.quality_score < 0.5 AS f_qual
+    FROM documents d
+    JOIN surv s ON s.doc_id = d.doc_id
+    LEFT JOIN contam c ON c.doc_id = d.doc_id
+    JOIN pred p ON p.doc_id = d.doc_id
+    JOIN qual q ON q.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN f_bench OR f_dup OR f_contam OR f_lang OR f_qual
+                 THEN 0 ELSE 1 END AS BIGINT) AS keep,
+       COALESCE(array_to_string(list_filter([
+           CASE WHEN f_bench THEN 'benchmark_heldout' ELSE '' END,
+           CASE WHEN f_dup THEN 'exact_dup' ELSE '' END,
+           CASE WHEN f_contam THEN 'contaminated' ELSE '' END,
+           CASE WHEN f_lang THEN 'lang_mismatch' ELSE '' END,
+           CASE WHEN f_qual THEN 'low_quality' ELSE '' END
+       ], x -> x != ''), ','), '') AS reasons
+FROM flags
+""".replace("{NORM}", _NORM_TEXT).replace("{QSTOP}", _Q_STOP).replace(
+    "{H_DE}", _HITS["de"]
+).replace("{H_EN}", _HITS["en"]).replace(
+    "{H_ES}", _HITS["es"]
+).replace("{H_FR}", _HITS["fr"])
+
 EXT_SQL["dd_substring_runs"] = """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1462,6 +1556,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_decontam": q_dd_decontam,
     "dd_substring_runs": q_dd_substring_runs,
     "dd_line_dedup": q_dd_line_dedup,
+    "dd_curation": q_dd_curation,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_kmeans": q_ann_kmeans,
