@@ -621,6 +621,23 @@ def q_ann_kmeans(sf_dir: str):
     return kmeans_assign(emb, C)
 
 
+def q_ann_ivf_exact(sf_dir: str):
+    """IVF ANN on the trained integer-grid codebook with exact int64
+    probe + rank arithmetic — the oracle-checkable IVF path (the only
+    approximation is which buckets are probed, and the oracle probes
+    the same ones)."""
+    from rex_ray.stages.similarity import ivf_topk_int
+
+    return ivf_topk_int(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        query_ids=range(ANN_NUM_QUERIES),
+        k=ANN_K,
+        num_centroids=KMEANS_K,
+        iters=KMEANS_ITERS,
+        nprobe=3,
+    )
+
+
 def q_dd_line_dedup(sf_dir: str):
     """Duplicated-line pass (CCNet / Dolma exact paragraph dedup):
     per-doc counts of distinct segments shared with another document;
@@ -1255,7 +1272,10 @@ LEFT JOIN s3 USING (doc_id)
 # 0.5); centroid update m = floordiv(2*sum + n, 2*n) (floor-div
 # emulated below since DuckDB's // truncates toward zero); empty
 # clusters keep their previous centroid; ties break to lowest cid.
-EXT_SQL["ann_kmeans"] = """
+# shared prefix: integer-grid embeddings + 2 unrolled Lloyd updates
+# (c2 = trained codebook, d3 = final distances of every vec to c2) —
+# used by both ann_kmeans and the exact-IVF oracle below
+_KM_SQL_PREFIX = """
 WITH qe AS (
     SELECT vec_id, i - 1 AS i,
            CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
@@ -1315,13 +1335,61 @@ c2 AS (
 d3 AS (
     SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS d
     FROM qe q JOIN c2 c USING (i) GROUP BY 1, 2
-)
+)"""
+
+EXT_SQL["ann_kmeans"] = _KM_SQL_PREFIX + """
 SELECT vec_id, cid AS cluster_id, CAST(d AS BIGINT) AS dist FROM (
     SELECT vec_id, cid, d,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY d, cid) AS rn
     FROM d3
 ) WHERE rn = 1
+"""
+
+IVF_NPROBE = 3
+
+EXT_SQL["ann_ivf_exact"] = _KM_SQL_PREFIX + f""",
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d3
+    ) WHERE rn = 1
+),
+qd AS (
+    SELECT q.vec_id AS query_id, c.cid,
+           sum((q.v - c.v) * (q.v - c.v)) AS d
+    FROM qe q JOIN c2 c USING (i)
+    WHERE q.vec_id < {ANN_NUM_QUERIES}
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, cid) AS rn
+        FROM qd
+    ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probe p JOIN assign a USING (cid)
+    WHERE a.vec_id <> p.query_id
+),
+nd AS (
+    SELECT c.query_id, c.neighbor_id,
+           sum((q.v - n.v) * (q.v - n.v)) AS d
+    FROM cand c
+    JOIN qe q ON q.vec_id = c.query_id
+    JOIN qe n ON n.vec_id = c.neighbor_id AND n.i = q.i
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY d, neighbor_id) AS BIGINT) AS rank
+FROM nd
+QUALIFY rank <= {ANN_K}
 """
 
 # stages/dedup.substring_dup_runs: n=8 anchors, grams occurring more
@@ -1559,6 +1627,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_curation": q_dd_curation,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
+    "ann_ivf_exact": q_ann_ivf_exact,
     "ann_kmeans": q_ann_kmeans,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_samples": q_mm_frame_samples,

@@ -350,3 +350,107 @@ def kmeans_assign(emb_ds, C: np.ndarray, id_col: str = "vec_id"):
         )
 
     return emb_ds.map_batches(fn, batch_format="pandas")
+
+
+_TOPK_INT_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("neighbor_id", pa.int64()),
+        ("d", pa.int64()),
+    ]
+)
+
+
+def ivf_topk_int(
+    emb_ds,
+    query_ids: Sequence[int],
+    k: int = 5,
+    num_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+):
+    """IVF ANN with EXACT integer arithmetic end to end — the
+    oracle-checkable variant of :func:`ivf_topk`.
+
+    The codebook is the distributed integer-grid k-means
+    (:func:`kmeans_fit`); probe selection and candidate ranking use
+    int64 squared L2 on the same grid, ties broken by (d, id).  Every
+    step is deterministic under any partitioning, so the ONLY
+    approximation is which buckets are probed — exactly reproducible
+    by a DuckDB oracle (query ``ann_ivf_exact``), unlike the float
+    cosine variant where tie order is numeric noise.
+
+    Dataflow: codebook fit is per-batch k-row partials + one merge
+    task; then ONE streaming pass assigns each batch to clusters,
+    keeps rows in any probed bucket, and emits <= k local-best rows
+    per (query, batch); a single tiny groupby merges.  Output:
+    (query_id, neighbor_id, rank), self excluded.
+    """
+    C = kmeans_fit(emb_ds, k=num_centroids, iters=iters, id_col=id_col)
+
+    qdf = (
+        _filter_ids(emb_ds, id_col, sorted(query_ids))
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    Q = quantize_grid(qdf["embedding"])
+    qids = qdf[id_col].to_numpy().astype(np.int64)
+
+    # per-query probe sets: nprobe smallest (d, cid) — tiny (q x k)
+    dq = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cid = np.arange(len(C), dtype=np.int64)
+    probes = [
+        np.lexsort((cid, dq[qi]))[:nprobe].astype(np.int64)
+        for qi in range(len(qids))
+    ]
+    ref = ray.put((qids, Q, C, probes))
+
+    class LocalTopKInt:
+        def __init__(self):
+            self.qids, self.Q, self.C, self.probes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            V = quantize_grid(batch["embedding"])
+            bids = batch[id_col].to_numpy().astype(np.int64)
+            cl, _ = _assign_int(V, self.C)
+            rows = []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cl, self.probes[qi]) & (bids != qid)
+                if not mask.any():
+                    continue
+                cand = bids[mask]
+                diff = V[mask] - self.Q[qi][None, :]
+                dd = (diff * diff).sum(axis=1)
+                order = np.lexsort((cand, dd))[: min(k, len(cand))]
+                rows.extend(
+                    (int(qid), int(cand[j]), int(dd[j])) for j in order
+                )
+            return arrow_block(
+                pd.DataFrame(
+                    rows, columns=["query_id", "neighbor_id", "d"]
+                ),
+                schema=_TOPK_INT_PARTIAL_SCHEMA,
+            )
+
+    partial = emb_ds.map_batches(
+        LocalTopKInt, batch_format="pandas",
+        concurrency=default_concurrency(),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d", "neighbor_id"]).head(k)
+        g = g.reset_index(drop=True)
+        return arrow_block(
+            pd.DataFrame(
+                {
+                    "query_id": g["query_id"],
+                    "neighbor_id": g["neighbor_id"],
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
+        )
+
+    return pre_shuffle(partial).groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )

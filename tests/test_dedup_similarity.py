@@ -546,3 +546,38 @@ def test_segment_dup_stats_matches_local(docs_ds):
     )
     flagged = got[got["n_dup_segments"] == got["n_segments"]]
     assert dup_group_docs <= set(flagged["doc_id"].astype(int))
+
+
+def test_ivf_topk_int_partition_invariant_and_recall(emb_ds):
+    """Exact-int IVF: bit-identical under repartitioning (the oracle
+    contract) and reasonable recall vs probing every bucket."""
+    from rex_ray.stages.similarity import ivf_topk_int
+
+    qids = range(6)
+    a = (
+        ivf_topk_int(emb_ds, qids, k=5, num_centroids=8, nprobe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    b = (
+        ivf_topk_int(
+            emb_ds.repartition(7), qids, k=5, num_centroids=8, nprobe=3
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+    # nprobe = num_centroids == exhaustive: recall baseline
+    full = (
+        ivf_topk_int(emb_ds, qids, k=5, num_centroids=8, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    hits = len(
+        set(map(tuple, a[["query_id", "neighbor_id"]].to_numpy()))
+        & set(map(tuple, full[["query_id", "neighbor_id"]].to_numpy()))
+    )
+    assert hits / len(full) >= 0.5
