@@ -422,6 +422,17 @@ def q_ta_redact(sf_dir: str):
     )
 
 
+def q_ta_lm_perplexity(sf_dir: str):
+    """Per-doc bigram-LM negative log-likelihood (the CCNet perplexity
+    quality signal, Wenzek et al. LREC'20), model trained on the corpus
+    in the same job; integer micronat terms make it oracle-checkable."""
+    from rex_ray.stages.textstats import lm_perplexity
+
+    return lm_perplexity(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_ta_bpe_pairs(sf_dir: str):
     """Adjacent char-pair frequencies (BPE training step 1) as a
     bounded-partial distributed count."""
@@ -1199,6 +1210,30 @@ FROM media
 
 # stages/textstats.bpe_pair_counts: pairs within words only (the Ray
 # side masks the token separator), codes decoded back to chars.
+EXT_SQL["ta_lm_perplexity"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS x FROM d),
+big AS (SELECT doc_id, l[x] AS a, l[x + 1] AS b FROM pos),
+uni AS (SELECT u.token AS tok, CAST(count(*) AS BIGINT) AS c
+        FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        GROUP BY 1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+       FROM big GROUP BY 1, 2),
+terms AS (
+    SELECT big.doc_id,
+           CAST(floor(1e6 * ln(CAST(bc.c_ab + 1 AS DOUBLE)
+                               / CAST(uni.c + v.v AS DOUBLE)) + 0.5)
+                AS BIGINT) AS term
+    FROM big JOIN bc USING (a, b)
+             JOIN uni ON uni.tok = big.a
+             CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(term) AS BIGINT) AS nll_micronats
+FROM terms GROUP BY doc_id
+"""
+
 EXT_SQL["ta_bpe_pairs"] = """
 WITH words AS (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -1611,6 +1646,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_tfidf": q_ta_tfidf,
     "ta_repetition": q_ta_repetition,
     "ta_redact": q_ta_redact,
+    "ta_lm_perplexity": q_ta_lm_perplexity,
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,

@@ -575,3 +575,159 @@ def bpe_train(docs_ds, num_merges: int = 10, top_k: int = 20000):
             "freq": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def lm_perplexity(docs_ds, min_count: int = 1):
+    """Per-doc bigram-LM negative log-likelihood — the CCNet quality
+    signal (Wenzek et al., LREC 2020: score every crawl document under
+    a language model, filter/tier by perplexity), with the LM trained
+    on the corpus itself in the same job.  Model: add-one-smoothed
+    bigram LM, ``P(b|a) = (c_ab + 1) / (c_a + V)``.
+
+    Determinism contract (cross-engine, like ``graph.edge_pmi``): each
+    bigram term is the int64 ``floor(1e6 * ln((c_ab+1)/(c_a+V)) + 0.5)``
+    ("micronats") — ONE double division of exact int64 counts and one
+    ``ln``, evaluated in identical order on both engines, rounded onto
+    the 1e-6 grid BEFORE the per-doc sum, so the sum is exact integer
+    arithmetic and independent of summation order / partitioning.
+
+    Dataflow (all slim):
+    1. bigram counts — per-batch partial (gram, n) counts, one
+       groupby-sum shuffle of distinct-gram rows;
+    2. unigram counts + vocab size V — same shape (word_frequency);
+    3. both count tables broadcast worker-built
+       (:func:`rex_ray.stages.dedup._worker_built_ref`) as sorted
+       md5-64 arrays + parallel int64 counts: the driver never
+       materializes a row and every worker maps the arrays zero-copy;
+    4. scoring — ONE streaming ``map_batches`` pass, batch-wide md5 +
+       two ``searchsorted`` probes, per-doc segmented integer sums.
+
+    ``min_count`` prunes the broadcast bigram table for web-scale
+    corpora (a pruned bigram scores exactly like an unseen one — the
+    +1 smoothing mass); the oracle query runs unpruned.  Docs with
+    fewer than 2 tokens have no bigrams and are omitted (as in SQL).
+
+    Output: (doc_id, n_bigrams, nll_micronats); perplexity =
+    ``exp(nll_micronats / 1e6 / n_bigrams)`` is a consumer-side float.
+    """
+    from ray.data.aggregate import Sum
+
+    from rex_ray.functions import hashing as H
+    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+
+    _PARTIAL = pa.schema([("g", pa.string()), ("n", pa.int64())])
+
+    def bigram_partial(batch: pd.DataFrame) -> pa.Table:
+        grams: list = []
+        for t in batch["text"]:
+            toks = t.split(" ")
+            grams.extend(
+                toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)
+            )
+        if not grams:
+            return _PARTIAL.empty_table()
+        s = pd.Series(grams, dtype=object).value_counts()
+        return arrow_block(
+            s.rename("n").rename_axis("g").reset_index(), schema=_PARTIAL
+        )
+
+    bg = (
+        pre_shuffle(docs_ds.map_batches(bigram_partial, batch_format="pandas"))
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if min_count > 1:
+        bg = bg.filter(expr=f"n >= {min_count}")
+
+    def build_big(tables):
+        gs: list = []
+        cnts: list = []
+        for t in tables:
+            if t.num_rows:
+                gs.extend(t["g"].to_pylist())
+                cnts.append(t["n"].to_numpy(zero_copy_only=False))
+        if not gs:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64))
+        hv = H.md5_hash64_batch(gs)
+        c = np.concatenate(cnts).astype(np.int64)
+        o = np.argsort(hv)
+        return (hv[o], c[o])
+
+    big_ref = _worker_built_ref(bg, build_big)
+
+    def build_uni(tables):
+        toks: list = []
+        cnts: list = []
+        for t in tables:
+            if t.num_rows:
+                toks.extend(t["token"].to_pylist())
+                cnts.append(t["n"].to_numpy(zero_copy_only=False))
+        if not toks:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64), 0)
+        hv = H.md5_hash64_batch(toks)
+        c = np.concatenate(cnts).astype(np.int64)
+        o = np.argsort(hv)
+        return (hv[o], c[o], len(toks))
+
+    uni_ref = _worker_built_ref(word_frequency(docs_ds), build_uni)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("nll_micronats", pa.int64()),
+        ]
+    )
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        gh, gc = _side_object(big_ref)
+        uh, uc, V = _side_object(uni_ref)
+        texts = list(batch["text"])
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        grams: list = []
+        hist: list = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            kk = max(len(toks) - 1, 0)
+            counts[i] = kk
+            grams.extend(
+                toks[j] + " " + toks[j + 1] for j in range(kk)
+            )
+            hist.extend(toks[:kk])
+        if not grams:
+            return out_schema.empty_table()
+        hv = H.md5_hash64_batch(grams)
+        hu = H.md5_hash64_batch(hist)
+        c_ab = np.zeros(len(hv), dtype=np.int64)
+        if len(gh):
+            idx = np.searchsorted(gh, hv)
+            idx[idx == len(gh)] = 0
+            hit = gh[idx] == hv
+            c_ab[hit] = gc[idx[hit]]
+        c_a = np.zeros(len(hu), dtype=np.int64)
+        if len(uh):
+            idx = np.searchsorted(uh, hu)
+            idx[idx == len(uh)] = 0
+            hit = uh[idx] == hu
+            c_a[hit] = uc[idx[hit]]
+        term = np.floor(
+            1e6 * np.log((c_ab + 1).astype(np.float64)
+                         / (c_a + V).astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        tot = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(tot, np.repeat(np.arange(len(texts)), counts), term)
+        sel = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_bigrams": pa.array(counts[sel], pa.int64()),
+                "nll_micronats": pa.array(-tot[sel], pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pandas")

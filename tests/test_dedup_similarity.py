@@ -581,3 +581,37 @@ def test_ivf_topk_int_partition_invariant_and_recall(emb_ds):
         & set(map(tuple, full[["query_id", "neighbor_id"]].to_numpy()))
     )
     assert hits / len(full) >= 0.5
+
+
+def test_lm_perplexity_hand_computed(ray_session):
+    """Bigram-LM NLL on a 3-doc corpus vs closed-form micronat terms;
+    docs without bigrams are omitted; min_count pruning scores pruned
+    bigrams as unseen."""
+    import ray
+
+    from rex_ray.stages.textstats import lm_perplexity
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b a"},
+            {"doc_id": 1, "text": "b a"},
+            {"doc_id": 2, "text": "x"},
+        ]
+    )
+    out = lm_perplexity(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    # unigrams a:3 b:2 x:1, V=3; bigrams (a,b):1 (b,a):2
+    # term(a,b) = floor(1e6*ln(2/6)+.5) = -1098612
+    # term(b,a) = floor(1e6*ln(3/5)+.5) = -510826
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_bigrams"].tolist() == [2, 1]
+    assert out["nll_micronats"].tolist() == [1098612 + 510826, 510826]
+
+    pruned = lm_perplexity(docs, min_count=2).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    # (a,b) pruned -> unseen: term = floor(1e6*ln(1/6)+.5) = -1791759
+    assert pruned["nll_micronats"].tolist() == [
+        1791759 + 510826, 510826,
+    ]
