@@ -672,6 +672,23 @@ def q_dd_curation(sf_dir: str):
     )
 
 
+SEMDEDUP_RADIUS = 1_160_000  # int64 grid sqdist ~ cosine 0.45 at |v|=1
+
+
+def q_dd_semantic_dups(sf_dir: str):
+    """SemDeDup: integer-grid k-means clustering then within-cluster
+    near-dedup under an exact int64 radius; keeps the farthest-from-
+    centroid member of each epsilon-neighborhood."""
+    from rex_ray.stages.dedup import semantic_dup_drops
+
+    return semantic_dup_drops(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        radius=SEMDEDUP_RADIUS,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+    )
+
+
 def q_dd_substring_runs(sf_dir: str):
     """Maximal cross-doc duplicated token runs (>= 8 tokens), the
     substring-level dedup pass (Lee et al. 2021) via n-gram anchors +
@@ -1427,6 +1444,38 @@ FROM nd
 QUALIFY rank <= {ANN_K}
 """
 
+EXT_SQL["dd_semantic_dups"] = _KM_SQL_PREFIX + f""",
+asg AS (
+    SELECT vec_id, cid AS cluster_id, CAST(d AS BIGINT) AS dist FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d3
+    ) WHERE rn = 1
+),
+pd AS (
+    SELECT a.vec_id AS v, b.vec_id AS u,
+           sum((qa.v - qb.v) * (qa.v - qb.v)) AS sq
+    FROM asg a
+    JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+    JOIN qe qa ON qa.vec_id = a.vec_id
+    JOIN qe qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+    GROUP BY 1, 2
+),
+drops AS (
+    SELECT DISTINCT pd.v AS vec_id
+    FROM pd
+    JOIN asg da ON da.vec_id = pd.v
+    JOIN asg db ON db.vec_id = pd.u
+    WHERE pd.sq <= {SEMDEDUP_RADIUS}
+      AND (db.dist > da.dist
+           OR (db.dist = da.dist AND db.vec_id < da.vec_id))
+)
+SELECT a.vec_id, a.cluster_id, a.dist,
+       (dr.vec_id IS NULL) AS keep
+FROM asg a LEFT JOIN drops dr USING (vec_id)
+"""
+
 # stages/dedup.substring_dup_runs: n=8 anchors, grams occurring more
 # than 50 times corpus-wide skipped (same cap on both sides), islands
 # = consecutive pos_a on one (doc_a, doc_b, diag) diagonal.
@@ -1661,6 +1710,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_substring_runs": q_dd_substring_runs,
     "dd_line_dedup": q_dd_line_dedup,
     "dd_curation": q_dd_curation,
+    "dd_semantic_dups": q_dd_semantic_dups,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_ivf_exact": q_ann_ivf_exact,

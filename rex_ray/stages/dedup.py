@@ -934,3 +934,115 @@ def segment_dup_stats(docs_ds, seg_tokens: int = SEG_TOKENS,
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def semantic_dup_drops(
+    emb_ds,
+    radius: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+):
+    """SemDeDup (Abbas et al., 2023): k-means-cluster the embedding
+    space, then near-dedup WITHIN clusters only — the sub-quadratic
+    scale path for semantic dedup (pairwise work is O(sum m_c^2) over
+    cluster sizes, not O(n^2); k grows with the corpus).
+
+    Exact integer contract end to end: the codebook is the distributed
+    integer-grid k-means (:func:`rex_ray.stages.similarity.kmeans_fit`),
+    closeness is int64 squared grid distance <= ``radius``, and the
+    keep rule is deterministic — drop v iff some u in the same cluster
+    is within ``radius`` and outranks v under (dist-to-centroid DESC,
+    id ASC); i.e. each epsilon-neighborhood keeps its farthest-from-
+    centroid member, the paper's retention policy.  Every step is
+    partition-invariant, so a DuckDB oracle replays it bit-exactly
+    (query ``dd_semantic_dups``).
+
+    Dataflow: codebook fit = per-batch k-row partials + merge task;
+    ONE assign pass carries (id, cluster, dist, grid vector) into a
+    ``groupby(cluster)`` shuffle (dim x 8 bytes/row — the vector IS
+    the payload here, unlike text dedup where we ship hashes); each
+    cluster group runs a chunked int64 matmul.  Clusters far larger
+    than worker memory would chunk-pair like
+    :func:`embedding_dup_pairs`; at that point raise k instead — the
+    paper's regime is n/k documents per cluster.
+
+    Output: (vec_id, cluster_id, dist, keep).
+    """
+    import ray
+
+    from rex_ray.functions.blocks import fixed_list_column, matrix_from_column
+    from rex_ray.stages.similarity import _assign_int, kmeans_fit, quantize_grid
+
+    C = kmeans_fit(emb_ds, k=k, iters=iters, id_col=id_col)
+    cref = ray.put(C)
+
+    def assign(batch: pd.DataFrame) -> pa.Table:
+        Cc = _side_object(cref)
+        dim = Cc.shape[1]
+        if len(batch) == 0:
+            return pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("cluster_id", pa.int64()),
+                    ("dist", pa.int64()),
+                    ("grid", pa.list_(pa.int64(), dim)),
+                ]
+            ).empty_table()
+        X = quantize_grid(batch["embedding"])
+        a, d = _assign_int(X, Cc)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    batch[id_col].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cluster_id": pa.array(a, pa.int64()),
+                "dist": pa.array(d, pa.int64()),
+                "grid": fixed_list_column(X),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("cluster_id", pa.int64()),
+            ("dist", pa.int64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    def cluster_dedup(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = g["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = matrix_from_column(g, "grid").astype(np.int64)
+        order = np.lexsort((ids, -dist))  # rank 0 = farthest, ties by id
+        Xo, ido, disto = X[order], ids[order], dist[order]
+        m = len(ido)
+        n2 = (Xo * Xo).sum(axis=1)
+        keep = np.ones(m, dtype=bool)
+        jj = np.arange(m)[None, :]
+        for s in range(0, m, 1024):
+            e = min(s + 1024, m)
+            d2 = n2[s:e, None] + n2[None, :] - 2 * (Xo[s:e] @ Xo.T)
+            outranked = (d2 <= radius) & (jj < np.arange(s, e)[:, None])
+            keep[s:e] = ~outranked.any(axis=1)
+        cid = g["cluster_id"].to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                id_col: pa.array(ido, pa.int64()),
+                "cluster_id": pa.array(cid.astype(np.int64), pa.int64()),
+                "dist": pa.array(disto, pa.int64()),
+                "keep": pa.array(keep),
+            }
+        )
+
+    assigned = emb_ds.map_batches(assign, batch_format="pandas")
+    return pre_shuffle(assigned).groupby("cluster_id").map_groups(
+        cluster_dedup, batch_format="pyarrow"
+    )

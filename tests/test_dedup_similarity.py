@@ -615,3 +615,40 @@ def test_lm_perplexity_hand_computed(ray_session):
     assert pruned["nll_micronats"].tolist() == [
         1791759 + 510826, 510826,
     ]
+
+
+def test_semantic_dup_drops_planted_pair(ray_session):
+    """A planted epsilon-pair loses exactly one member (the one nearer
+    its centroid); singletons keep; result is partition-invariant."""
+    import ray
+
+    from rex_ray.stages.dedup import semantic_dup_drops
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0, 0.0]},   # seed A
+        {"vec_id": 1, "embedding": [0.0, 1.0, 0.0, 0.0]},   # seed B
+        {"vec_id": 2, "embedding": [0.99, 0.01, 0.0, 0.0]},
+        {"vec_id": 3, "embedding": [0.985, 0.015, 0.0, 0.0]},
+        {"vec_id": 4, "embedding": [0.05, 0.9, 0.1, 0.0]},
+    ]
+
+    def run(n_parts):
+        ds = ray.data.from_items(rows).repartition(n_parts)
+        return (
+            semantic_dup_drops(ds, radius=100, k=2, iters=2)
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+
+    out = run(1)
+    assert len(out) == 5
+    pair = out[out["vec_id"].isin([2, 3])]
+    assert pair["keep"].sum() == 1          # exactly one of the pair dropped
+    others = out[~out["vec_id"].isin([2, 3])]
+    assert others["keep"].all()
+    # the kept member is the farther-from-centroid one
+    kept = pair[pair["keep"]].iloc[0]
+    dropped = pair[~pair["keep"]].iloc[0]
+    assert (kept["dist"], -kept["vec_id"]) >= (dropped["dist"], -dropped["vec_id"])
+    # partition invariance
+    pd.testing.assert_frame_equal(out, run(3))
