@@ -319,6 +319,20 @@ def q_events_asof(sf_dir: str):
     )
 
 
+INTERVAL_COHORT_MOD = 20
+
+
+def q_events_interval(sf_dir: str):
+    """Broadcast interval (range) join: sampled-cohort session windows
+    vs every event ts (inclusive BETWEEN); per-interval traffic counts."""
+    from rex_ray.stages.windows import interval_join_events
+
+    return interval_join_events(
+        _read(sf_dir, "events", columns=["ts", "user_id"]),
+        cohort_mod=INTERVAL_COHORT_MOD,
+    )
+
+
 def q_ta_inverted_index(sf_dir: str):
     from rex_ray.stages.textstats import inverted_index
 
@@ -991,6 +1005,35 @@ FROM r
 JOIN n USING (event_type)
 JOIN (VALUES (0.5), (0.9), (0.99)) AS p(p)
   ON r.rn = CAST(ceil(p.p * n.n) AS BIGINT)
+"""
+
+EXT_SQL["events_interval"] = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+ce AS (SELECT * FROM e WHERE user_id % {INTERVAL_COHORT_MOD} = 0),
+marked AS (
+    SELECT user_id, ts_us,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM ce
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+    SELECT user_id, ts_us,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM marked
+),
+ivals AS (
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts_us) AS start_ts_us, max(ts_us) AS end_ts_us
+    FROM sess GROUP BY 1, 2
+)
+SELECT i.user_id, i.session_id, i.start_ts_us, i.end_ts_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ivals i JOIN e ON e.ts_us BETWEEN i.start_ts_us AND i.end_ts_us
+GROUP BY 1, 2, 3, 4
 """
 
 EXT_SQL["events_asof"] = """
@@ -1681,6 +1724,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "events_sessions": q_events_sessions,
     "events_sliding": q_events_sliding,
     "events_asof": q_events_asof,
+    "events_interval": q_events_interval,
     "events_quantiles": q_events_quantiles,
     "ta_fingerprints": q_ta_fingerprints,
     "ta_source_cap": q_ta_source_cap,

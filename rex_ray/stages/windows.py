@@ -191,3 +191,141 @@ def sliding_window_counts(events_ds, width_us: int, slide_us: int):
     return partial.groupby("window_start_us").aggregate(
         Sum("n_events", alias_name="n_events")
     )
+
+
+def interval_join_events(
+    events_ds,
+    cohort_mod: int = 20,
+    gap_us: int = DEFAULT_GAP_US,
+):
+    """Broadcast interval (range) join — the second range-predicate
+    join Ray Data lacks natively (the first is
+    :func:`asof_join_events`): every session interval of a sampled
+    "monitored cohort" (``user_id % cohort_mod == 0``) is joined
+    against EVERY event whose ``ts`` lies in ``[start, end]``
+    (inclusive, SQL ``BETWEEN``), producing per-interval traffic
+    stats: (user_id, session_id, start_ts_us, end_ts_us, n_events,
+    n_users).  Intervals overlap each other arbitrarily across users,
+    so this is a true range join, not an equi-join in disguise.
+
+    Dataflow: the interval side is inherently small (a monitoring
+    cohort), so it broadcasts worker-built — sorted start/end arrays,
+    zero-copy plasma reads, never on the driver.  The probe side is
+    ONE streaming pass: each batch sorts its timestamps once and
+    answers every interval with two ``searchsorted`` calls; emitted
+    partials are distinct (interval, probe_user, n) rows, so the
+    merge shuffles O(intervals x active users), not O(events).  If
+    the interval side ever outgrows broadcast, bucket BOTH sides by
+    coarse time range and equi-join on the bucket (intervals fan out
+    to each bucket they overlap) — same probe kernel per bucket.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+
+    def cohort_filter(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(uid % cohort_mod == 0))
+
+    cohort = events_ds.map_batches(cohort_filter, batch_format="pyarrow")
+    sessions = sessionize(cohort, gap_us=gap_us)
+
+    def build_intervals(tables):
+        tabs = [t for t in tables if t.num_rows]
+        if not tabs:
+            z = np.empty(0, np.int64)
+            return (z, z, z, z)
+        allt = pa.concat_tables(tabs)
+        uid = allt["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = allt["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = allt["start_ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = allt["end_ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((sid, uid, st))
+        return (uid[o], sid[o], st[o], en[o])
+
+    iref = _worker_built_ref(sessions, build_intervals)
+
+    partial_schema = pa.schema(
+        [
+            ("iidx", pa.int64()),
+            ("probe_user", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        uid, sid, st, en = _side_object(iref)
+        if t.num_rows == 0 or len(st) == 0:
+            return partial_schema.empty_table()
+        import pyarrow.compute as pc
+
+        ts = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        users = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts_s, users_s = ts[order], users[order]
+        lo = np.searchsorted(ts_s, st, side="left")
+        hi = np.searchsorted(ts_s, en, side="right")
+        out_i: list = []
+        out_u: list = []
+        out_n: list = []
+        for i in np.nonzero(hi > lo)[0]:
+            u, c = np.unique(users_s[lo[i]: hi[i]], return_counts=True)
+            out_i.append(np.full(len(u), i, dtype=np.int64))
+            out_u.append(u)
+            out_n.append(c.astype(np.int64))
+        if not out_i:
+            return partial_schema.empty_table()
+        return pa.table(
+            {
+                "iidx": pa.array(np.concatenate(out_i), pa.int64()),
+                "probe_user": pa.array(np.concatenate(out_u), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    per_user = (
+        pre_shuffle(events_ds.map_batches(probe, batch_format="pyarrow"))
+        .groupby(["iidx", "probe_user"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    per_interval = per_user.groupby("iidx").aggregate(
+        Sum("n", alias_name="n_events"),
+        Count(alias_name="n_users"),
+    )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("start_ts_us", pa.int64()),
+            ("end_ts_us", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        uid, sid, st, en = _side_object(iref)
+        ii = t["iidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[ii], pa.int64()),
+                "session_id": pa.array(sid[ii], pa.int64()),
+                "start_ts_us": pa.array(st[ii], pa.int64()),
+                "end_ts_us": pa.array(en[ii], pa.int64()),
+                "n_events": pa.array(
+                    t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_users": pa.array(
+                    t["n_users"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return per_interval.map_batches(attach, batch_format="pyarrow")

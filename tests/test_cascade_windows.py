@@ -189,3 +189,32 @@ def test_grouped_exact_quantiles_vs_numpy(ray_session):
         for p in ps:
             k = max(1, math.ceil(p * len(vals)))
             assert got[(g, p)] == vals[k - 1], (g, p)
+
+
+def test_interval_join_hand_computed(ray_session):
+    """Cohort session windows vs all events, inclusive BETWEEN: counts
+    and distinct users match a hand-derived answer."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.windows import interval_join_events
+
+    ev = pd.DataFrame(
+        {
+            "user_id": [0, 1, 0, 3, 2],
+            "ts": pd.to_datetime([100, 150, 200, 250, 1000], unit="us"),
+        }
+    )
+    out = (
+        interval_join_events(
+            rd.from_pandas(ev).repartition(3), cohort_mod=2
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_id"], ignore_index=True)
+    )
+    # monitored users 0 and 2; u0 session [100,200], u2 session [1000,1000]
+    assert out["user_id"].tolist() == [0, 2]
+    assert out["start_ts_us"].tolist() == [100, 1000]
+    assert out["end_ts_us"].tolist() == [200, 1000]
+    assert out["n_events"].tolist() == [3, 1]   # u0@100, u1@150, u0@200
+    assert out["n_users"].tolist() == [2, 1]
