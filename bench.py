@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "ta_bpe_pairs",                  # bounded-partial pair bincount
 
     "mm_media_context",              # media-text neighbor alignment
+    # round-2d additions
+    "ta_lm_perplexity",              # corpus-trained bigram-LM scoring
+    "dd_semantic_dups",              # SemDeDup within-cluster dedup
+    "events_interval",               # broadcast interval range join
 ]
 HEADLINE = "kg_triple_store_interleaved"
 
