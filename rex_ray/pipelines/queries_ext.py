@@ -447,6 +447,21 @@ def q_ta_lm_perplexity(sf_dir: str):
     )
 
 
+DSIR_TARGET_MOD = 10
+
+
+def q_ta_dsir_weights(sf_dir: str):
+    """DSIR importance weights: log p_target - log p_raw per doc under
+    two corpus-trained bigram LMs (target = benchmark partition);
+    integer micronat terms keep it oracle-checkable."""
+    from rex_ray.stages.textstats import dsir_weights
+
+    return dsir_weights(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        target_mod=DSIR_TARGET_MOD,
+    )
+
+
 def q_ta_bpe_pairs(sf_dir: str):
     """Adjacent char-pair frequencies (BPE training step 1) as a
     bounded-partial distributed count."""
@@ -1294,6 +1309,42 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM terms GROUP BY doc_id
 """
 
+EXT_SQL["ta_dsir_weights"] = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS x FROM d),
+big AS (SELECT doc_id, l[x] AS a, l[x + 1] AS b FROM pos),
+tuni AS (SELECT u.token AS tok, CAST(count(*) AS BIGINT) AS c
+         FROM documents, unnest(string_split(text, ' ')) AS u(token)
+         WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY 1),
+tv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM tuni),
+tbc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM big WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY 1, 2),
+runi AS (SELECT u.token AS tok, CAST(count(*) AS BIGINT) AS c
+         FROM documents, unnest(string_split(text, ' ')) AS u(token)
+         GROUP BY 1),
+rv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM runi),
+rbc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM big GROUP BY 1, 2),
+terms AS (
+    SELECT big.doc_id,
+           CAST(floor(1e6 * ln(CAST(COALESCE(tbc.c_ab, 0) + 1 AS DOUBLE)
+                               / CAST(COALESCE(tuni.c, 0) + tv.v AS DOUBLE))
+                      + 0.5) AS BIGINT)
+           - CAST(floor(1e6 * ln(CAST(rbc.c_ab + 1 AS DOUBLE)
+                                 / CAST(runi.c + rv.v AS DOUBLE))
+                        + 0.5) AS BIGINT) AS term
+    FROM big
+    LEFT JOIN tbc USING (a, b)
+    LEFT JOIN tuni ON tuni.tok = big.a
+    JOIN rbc USING (a, b)
+    JOIN runi ON runi.tok = big.a
+    CROSS JOIN tv CROSS JOIN rv
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(term) AS BIGINT) AS weight_micronats
+FROM terms GROUP BY doc_id
+"""
+
 EXT_SQL["ta_bpe_pairs"] = """
 WITH words AS (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -1740,6 +1791,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_repetition": q_ta_repetition,
     "ta_redact": q_ta_redact,
     "ta_lm_perplexity": q_ta_lm_perplexity,
+    "ta_dsir_weights": q_ta_dsir_weights,
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,

@@ -581,43 +581,15 @@ def bpe_train(docs_ds, num_merges: int = 10, top_k: int = 20000):
 # bigram-LM perplexity (CCNet-style quality signal)
 # ---------------------------------------------------------------------------
 
-def lm_perplexity(docs_ds, min_count: int = 1):
-    """Per-doc bigram-LM negative log-likelihood — the CCNet quality
-    signal (Wenzek et al., LREC 2020: score every crawl document under
-    a language model, filter/tier by perplexity), with the LM trained
-    on the corpus itself in the same job.  Model: add-one-smoothed
-    bigram LM, ``P(b|a) = (c_ab + 1) / (c_a + V)``.
-
-    Determinism contract (cross-engine, like ``graph.edge_pmi``): each
-    bigram term is the int64 ``floor(1e6 * ln((c_ab+1)/(c_a+V)) + 0.5)``
-    ("micronats") — ONE double division of exact int64 counts and one
-    ``ln``, evaluated in identical order on both engines, rounded onto
-    the 1e-6 grid BEFORE the per-doc sum, so the sum is exact integer
-    arithmetic and independent of summation order / partitioning.
-
-    Dataflow (all slim):
-    1. bigram counts — per-batch partial (gram, n) counts, one
-       groupby-sum shuffle of distinct-gram rows;
-    2. unigram counts + vocab size V — same shape (word_frequency);
-    3. both count tables broadcast worker-built
-       (:func:`rex_ray.stages.dedup._worker_built_ref`) as sorted
-       md5-64 arrays + parallel int64 counts: the driver never
-       materializes a row and every worker maps the arrays zero-copy;
-    4. scoring — ONE streaming ``map_batches`` pass, batch-wide md5 +
-       two ``searchsorted`` probes, per-doc segmented integer sums.
-
-    ``min_count`` prunes the broadcast bigram table for web-scale
-    corpora (a pruned bigram scores exactly like an unseen one — the
-    +1 smoothing mass); the oracle query runs unpruned.  Docs with
-    fewer than 2 tokens have no bigrams and are omitted (as in SQL).
-
-    Output: (doc_id, n_bigrams, nll_micronats); perplexity =
-    ``exp(nll_micronats / 1e6 / n_bigrams)`` is a consumer-side float.
-    """
+def _bigram_model_refs(docs_ds, min_count: int = 1):
+    """Train the add-one bigram LM distributed and return
+    ``(big_ref, uni_ref)`` — ObjectRefs of worker-built sorted md5-64
+    hash arrays + parallel int64 counts (and V for the unigram side).
+    Shared by :func:`lm_perplexity` and :func:`dsir_weights`."""
     from ray.data.aggregate import Sum
 
     from rex_ray.functions import hashing as H
-    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+    from rex_ray.stages.dedup import _worker_built_ref
 
     _PARTIAL = pa.schema([("g", pa.string()), ("n", pa.int64())])
 
@@ -674,6 +646,80 @@ def lm_perplexity(docs_ds, min_count: int = 1):
         return (hv[o], c[o], len(toks))
 
     uni_ref = _worker_built_ref(word_frequency(docs_ds), build_uni)
+    return big_ref, uni_ref
+
+
+def _batch_bigram_arrays(texts):
+    """Flat per-position (gram, history-token) string lists + per-doc
+    bigram counts for one batch."""
+    grams: list = []
+    hist: list = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        kk = max(len(toks) - 1, 0)
+        counts[i] = kk
+        grams.extend(toks[j] + " " + toks[j + 1] for j in range(kk))
+        hist.extend(toks[:kk])
+    return grams, hist, counts
+
+
+def _micronat_terms(hv, hu, model):
+    """int64 floor(1e6 * ln((c_ab+1)/(c_a+V)) + 0.5) per bigram
+    position under one broadcast model — the cross-engine contract."""
+    (gh, gc), (uh, uc, V) = model
+    c_ab = np.zeros(len(hv), dtype=np.int64)
+    if len(gh):
+        idx = np.searchsorted(gh, hv)
+        idx[idx == len(gh)] = 0
+        hit = gh[idx] == hv
+        c_ab[hit] = gc[idx[hit]]
+    c_a = np.zeros(len(hu), dtype=np.int64)
+    if len(uh):
+        idx = np.searchsorted(uh, hu)
+        idx[idx == len(uh)] = 0
+        hit = uh[idx] == hu
+        c_a[hit] = uc[idx[hit]]
+    return np.floor(
+        1e6 * np.log((c_ab + 1).astype(np.float64)
+                     / (c_a + V).astype(np.float64)) + 0.5
+    ).astype(np.int64)
+
+
+def lm_perplexity(docs_ds, min_count: int = 1):
+    """Per-doc bigram-LM negative log-likelihood — the CCNet quality
+    signal (Wenzek et al., LREC 2020: score every crawl document under
+    a language model, filter/tier by perplexity), with the LM trained
+    on the corpus itself in the same job.  Model: add-one-smoothed
+    bigram LM, ``P(b|a) = (c_ab + 1) / (c_a + V)``.
+
+    Determinism contract (cross-engine, like ``graph.edge_pmi``): each
+    bigram term is the int64 ``floor(1e6 * ln((c_ab+1)/(c_a+V)) + 0.5)``
+    ("micronats", :func:`_micronat_terms`) — ONE double division of
+    exact int64 counts and one ``ln``, evaluated in identical order on
+    both engines, rounded onto the 1e-6 grid BEFORE the per-doc sum,
+    so the sum is exact integer arithmetic and independent of
+    summation order / partitioning.
+
+    Dataflow (all slim): model training + broadcast is
+    :func:`_bigram_model_refs` (two partial-count shuffles, count
+    tables worker-built as sorted md5-64 + int64 arrays, zero driver
+    materialization); scoring is ONE streaming ``map_batches`` pass —
+    batch-wide md5, two ``searchsorted`` probes, per-doc segmented
+    integer sums.
+
+    ``min_count`` prunes the broadcast bigram table for web-scale
+    corpora (a pruned bigram scores exactly like an unseen one — the
+    +1 smoothing mass); the oracle query runs unpruned.  Docs with
+    fewer than 2 tokens have no bigrams and are omitted (as in SQL).
+
+    Output: (doc_id, n_bigrams, nll_micronats); perplexity =
+    ``exp(nll_micronats / 1e6 / n_bigrams)`` is a consumer-side float.
+    """
+    from rex_ray.functions import hashing as H
+    from rex_ray.stages.dedup import _side_object
+
+    big_ref, uni_ref = _bigram_model_refs(docs_ds, min_count=min_count)
 
     out_schema = pa.schema(
         [
@@ -684,41 +730,15 @@ def lm_perplexity(docs_ds, min_count: int = 1):
     )
 
     def score(batch: pd.DataFrame) -> pa.Table:
-        gh, gc = _side_object(big_ref)
-        uh, uc, V = _side_object(uni_ref)
+        model = (_side_object(big_ref), _side_object(uni_ref))
         texts = list(batch["text"])
         ids = batch["doc_id"].to_numpy().astype(np.int64)
-        grams: list = []
-        hist: list = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.split(" ")
-            kk = max(len(toks) - 1, 0)
-            counts[i] = kk
-            grams.extend(
-                toks[j] + " " + toks[j + 1] for j in range(kk)
-            )
-            hist.extend(toks[:kk])
+        grams, hist, counts = _batch_bigram_arrays(texts)
         if not grams:
             return out_schema.empty_table()
-        hv = H.md5_hash64_batch(grams)
-        hu = H.md5_hash64_batch(hist)
-        c_ab = np.zeros(len(hv), dtype=np.int64)
-        if len(gh):
-            idx = np.searchsorted(gh, hv)
-            idx[idx == len(gh)] = 0
-            hit = gh[idx] == hv
-            c_ab[hit] = gc[idx[hit]]
-        c_a = np.zeros(len(hu), dtype=np.int64)
-        if len(uh):
-            idx = np.searchsorted(uh, hu)
-            idx[idx == len(uh)] = 0
-            hit = uh[idx] == hu
-            c_a[hit] = uc[idx[hit]]
-        term = np.floor(
-            1e6 * np.log((c_ab + 1).astype(np.float64)
-                         / (c_a + V).astype(np.float64)) + 0.5
-        ).astype(np.int64)
+        term = _micronat_terms(
+            H.md5_hash64_batch(grams), H.md5_hash64_batch(hist), model
+        )
         tot = np.zeros(len(texts), dtype=np.int64)
         np.add.at(tot, np.repeat(np.arange(len(texts)), counts), term)
         sel = counts > 0
@@ -727,6 +747,72 @@ def lm_perplexity(docs_ds, min_count: int = 1):
                 "doc_id": pa.array(ids[sel], pa.int64()),
                 "n_bigrams": pa.array(counts[sel], pa.int64()),
                 "nll_micronats": pa.array(-tot[sel], pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def dsir_weights(docs_ds, target_mod: int = 10, min_count: int = 1):
+    """DSIR importance weights (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by ``log p_target(doc) - log p_raw(doc)`` under two
+    n-gram LMs — one trained on a small in-domain target slice, one on
+    the full raw corpus — then resample the corpus proportionally to
+    the weights.  Here the target slice is the held-out benchmark
+    partition (``doc_id % target_mod == 0``, the same convention as
+    ``stages/decontam``) and both models are the add-one bigram LM of
+    :func:`lm_perplexity`.
+
+    Same micronat integer contract per bigram term
+    (:func:`_micronat_terms`), so the per-doc weight is the exact
+    int64 sum of per-position term differences — partition-invariant
+    and reproducible by the DuckDB oracle (query ``ta_dsir_weights``).
+
+    Dataflow: two model fits (4 slim count shuffles; the target fit
+    reads only the target slice), both models broadcast worker-built,
+    then ONE streaming scoring pass probing all four arrays.  Output:
+    (doc_id, n_bigrams, weight_micronats), docs with no bigrams
+    omitted; resampling = keep docs where weight (plus Gumbel noise,
+    consumer-side) clears a quantile.
+    """
+    from rex_ray.functions import hashing as H
+    from rex_ray.stages.dedup import _side_object
+
+    def target_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % target_mod == 0))
+
+    target_ds = docs_ds.map_batches(target_filter, batch_format="pyarrow")
+    t_big, t_uni = _bigram_model_refs(target_ds, min_count=min_count)
+    r_big, r_uni = _bigram_model_refs(docs_ds, min_count=min_count)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("weight_micronats", pa.int64()),
+        ]
+    )
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        tm = (_side_object(t_big), _side_object(t_uni))
+        rm = (_side_object(r_big), _side_object(r_uni))
+        texts = list(batch["text"])
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        grams, hist, counts = _batch_bigram_arrays(texts)
+        if not grams:
+            return out_schema.empty_table()
+        hv, hu = H.md5_hash64_batch(grams), H.md5_hash64_batch(hist)
+        diff = _micronat_terms(hv, hu, tm) - _micronat_terms(hv, hu, rm)
+        tot = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(tot, np.repeat(np.arange(len(texts)), counts), diff)
+        sel = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_bigrams": pa.array(counts[sel], pa.int64()),
+                "weight_micronats": pa.array(tot[sel], pa.int64()),
             }
         )
 

@@ -652,3 +652,26 @@ def test_semantic_dup_drops_planted_pair(ray_session):
     assert (kept["dist"], -kept["vec_id"]) >= (dropped["dist"], -dropped["vec_id"])
     # partition invariance
     pd.testing.assert_frame_equal(out, run(3))
+
+
+def test_dsir_weights_hand_computed(ray_session):
+    """DSIR weight = per-bigram micronat difference of the target and
+    raw models; target slice = doc_id % 3 == 0 (doc 0 only here)."""
+    import ray
+
+    from rex_ray.stages.textstats import dsir_weights
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b a"},
+            {"doc_id": 1, "text": "b a"},
+            {"doc_id": 2, "text": "x"},
+        ]
+    )
+    out = dsir_weights(docs, target_mod=3).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    # target model (doc 0): V=2, (a,b):1 c_a=2; (b,a):1 c_b=1
+    # raw model: V=3, (a,b):1 c_a=3; (b,a):2 c_b=2
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["weight_micronats"].tolist() == [510826, 105361]
