@@ -447,6 +447,16 @@ def q_ta_lm_perplexity(sf_dir: str):
     )
 
 
+def q_ta_ppl_tiers(sf_dir: str):
+    """CCNet head/middle/tail corpus split at the exact 1/3 and 2/3
+    order statistics of micronats-per-bigram."""
+    from rex_ray.stages.textstats import ppl_tiers
+
+    return ppl_tiers(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 DSIR_TARGET_MOD = 10
 
 
@@ -1285,7 +1295,7 @@ FROM media
 
 # stages/textstats.bpe_pair_counts: pairs within words only (the Ray
 # side masks the token separator), codes decoded back to chars.
-EXT_SQL["ta_lm_perplexity"] = """
+_LM_SQL_CORE = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS x FROM d),
 big AS (SELECT doc_id, l[x] AS a, l[x + 1] AS b FROM pos),
@@ -1303,10 +1313,36 @@ terms AS (
     FROM big JOIN bc USING (a, b)
              JOIN uni ON uni.tok = big.a
              CROSS JOIN v
+),
+scored AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(term) AS BIGINT) AS nll_micronats
+    FROM terms GROUP BY doc_id
+)"""
+
+EXT_SQL["ta_lm_perplexity"] = _LM_SQL_CORE + """
+SELECT doc_id, n_bigrams, nll_micronats FROM scored
+"""
+
+EXT_SQL["ta_ppl_tiers"] = _LM_SQL_CORE + """,
+m AS (SELECT doc_id, nll_micronats // n_bigrams AS metric FROM scored),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM m),
+ranked AS (
+    SELECT metric, row_number() OVER (ORDER BY metric) AS rn FROM m
+),
+th AS (
+    SELECT
+        max(CASE WHEN rn = greatest(
+            1, CAST(ceil((1.0/3) * c) AS BIGINT)) THEN metric END) AS c1,
+        max(CASE WHEN rn = greatest(
+            1, CAST(ceil((2.0/3) * c) AS BIGINT)) THEN metric END) AS c2
+    FROM ranked, cnt
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(-sum(term) AS BIGINT) AS nll_micronats
-FROM terms GROUP BY doc_id
+SELECT m.doc_id, m.metric,
+       CASE WHEN m.metric <= th.c1 THEN 'head'
+            WHEN m.metric <= th.c2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM m, th
 """
 
 EXT_SQL["ta_dsir_weights"] = f"""
@@ -1792,6 +1828,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_redact": q_ta_redact,
     "ta_lm_perplexity": q_ta_lm_perplexity,
     "ta_dsir_weights": q_ta_dsir_weights,
+    "ta_ppl_tiers": q_ta_ppl_tiers,
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,

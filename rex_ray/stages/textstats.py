@@ -817,3 +817,62 @@ def dsir_weights(docs_ds, target_mod: int = 10, min_count: int = 1):
         )
 
     return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def ppl_tiers(docs_ds, min_count: int = 1):
+    """CCNet's head/middle/tail corpus split (Wenzek et al., LREC'20,
+    §4.3): rank every document by LM perplexity and cut the corpus at
+    the 1/3 and 2/3 order statistics — 'head' is the cleanest third
+    used for training, 'tail' the noisiest.
+
+    The ranking metric is exact int64 ``nll_micronats // n_bigrams``
+    (micronats per bigram — monotone in perplexity), and the two cut
+    points are the exact ``max(1, ceil(p*n))``-th smallest metrics via
+    :func:`rex_ray.stages.quantiles.grouped_exact_quantiles` (3
+    bounded passes, no sort, no gather).  Tier assignment is by VALUE
+    against the cuts (ties all land in the lower tier), so the result
+    is deterministic and the DuckDB oracle replays it bit-exactly.
+
+    The slim (doc_id, metric) table is materialized once so the
+    quantile passes and the final assignment don't re-train the LM —
+    16 bytes/row in the object store (spillable), never the driver.
+
+    Output: (doc_id, metric, tier); docs without bigrams are omitted
+    (they have no perplexity).
+    """
+    from rex_ray.stages.quantiles import grouped_exact_quantiles
+
+    scored = lm_perplexity(docs_ds, min_count=min_count)
+
+    def to_metric(t: pa.Table) -> pa.Table:
+        nll = t["nll_micronats"].to_numpy(zero_copy_only=False)
+        nb = t["n_bigrams"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "metric": pa.array(nll // nb, pa.int64()),
+                "g": pa.array(["all"] * t.num_rows, pa.string()),
+            }
+        )
+
+    m = scored.map_batches(to_metric, batch_format="pyarrow").materialize()
+    qrows = grouped_exact_quantiles(
+        m, "g", "metric", ps=(1 / 3, 2 / 3)
+    ).take_all()
+    cuts = sorted((r["p"], int(r["q"])) for r in qrows)
+    c1, c2 = cuts[0][1], cuts[1][1]
+
+    def assign(t: pa.Table) -> pa.Table:
+        met = t["metric"].to_numpy(zero_copy_only=False)
+        tier = np.where(
+            met <= c1, "head", np.where(met <= c2, "middle", "tail")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "metric": t["metric"].combine_chunks(),
+                "tier": pa.array(tier.tolist(), pa.string()),
+            }
+        )
+
+    return m.map_batches(assign, batch_format="pyarrow")

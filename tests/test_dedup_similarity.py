@@ -675,3 +675,31 @@ def test_dsir_weights_hand_computed(ray_session):
     # raw model: V=3, (a,b):1 c_a=3; (b,a):2 c_b=2
     assert out["doc_id"].tolist() == [0, 1]
     assert out["weight_micronats"].tolist() == [510826, 105361]
+
+
+def test_ppl_tiers_thirds_and_value_ties(ray_session):
+    """Tier cuts are the exact 1/3 and 2/3 order statistics; ties on
+    the cut value all land in the lower tier; tier sizes ~ n/3."""
+    import ray
+
+    from rex_ray.stages.textstats import ppl_tiers
+
+    # 9 docs with increasingly repetitive text -> spread of metrics
+    docs = ray.data.from_items(
+        [
+            {"doc_id": i, "text": " ".join(
+                ["w%d" % (j % (i + 2)) for j in range(30)]
+            )}
+            for i in range(9)
+        ]
+    )
+    out = ppl_tiers(docs).to_pandas()
+    assert len(out) == 9
+    assert set(out["tier"]) <= {"head", "middle", "tail"}
+    # value-based assignment: every doc with metric <= head max is head
+    hmax = out[out["tier"] == "head"]["metric"].max()
+    assert (out[out["metric"] <= hmax]["tier"] == "head").all()
+    mmax = out[out["tier"] == "middle"]["metric"].max()
+    assert (out[(out["metric"] > hmax) & (out["metric"] <= mmax)]["tier"]
+            == "middle").all()
+    assert (out["tier"] == "head").sum() >= 3  # ceil(9/3)=3rd smallest cut
