@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "mm_media_context",              # media-text neighbor alignment
     # round-2d additions
     "ta_lm_perplexity",              # corpus-trained bigram-LM scoring
+    "ta_dsir_weights",               # two-model importance weights
+    "ta_ppl_tiers",                  # exact-quantile corpus tiering
     "dd_semantic_dups",              # SemDeDup within-cluster dedup
     "events_interval",               # broadcast interval range join
 ]
