@@ -234,6 +234,24 @@ def q_kg_edge_pmi(sf_dir: str):
     return edge_pmi(pairs, weight_col="support")
 
 
+def q_kg_merge_candidates(sf_dir: str):
+    """Neighborhood-overlap merge candidates over the canonical entity
+    graph (CESI-style entity-resolution blocking): pairs sharing >= 2
+    distinct neighbors, with both degrees attached so Jaccard is
+    derivable downstream without a float contract."""
+    import pyarrow as pa
+
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.graph import shared_neighbor_candidates
+
+    store = kg.triple_store_from_text_docs(_docs(sf_dir))
+    edges = store.map_batches(
+        lambda t: pa.table({"a": t["subj_id"], "b": t["obj_id"]}),
+        batch_format="pyarrow",
+    )
+    return shared_neighbor_candidates(edges, min_shared=2, hot_cap=50)
+
+
 def _bucket_filter(docs_ds, lo: int, hi: int):
     """Docs whose md5(doc_id) % 100 bucket falls in [lo, hi)
     (stages/relational.bucket_filter; DuckDB computes the identical
@@ -1265,6 +1283,44 @@ JOIN nodes na ON cxy.a = na.node
 JOIN nodes nb ON cxy.b = nb.node
 """
 
+_SQL["kg_merge_candidates"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+store AS (
+    SELECT cs.canonical_id AS subj_id, tri.pred, co.canonical_id AS obj_id
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    GROUP BY 1, 2, 3
+),
+edges AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS a,
+           greatest(subj_id, obj_id) AS b
+    FROM store WHERE subj_id <> obj_id
+),
+und AS (
+    SELECT a AS node, b AS nb FROM edges
+    UNION ALL
+    SELECT b, a FROM edges
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+wedge AS (
+    SELECT u1.nb AS ea, u2.nb AS eb
+    FROM und u1
+    JOIN und u2 ON u1.node = u2.node AND u1.nb < u2.nb
+    JOIN deg d ON d.node = u1.node AND d.deg <= 50
+),
+cand AS (
+    SELECT ea, eb, CAST(count(*) AS BIGINT) AS n_shared
+    FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT c.ea AS entity_a, c.eb AS entity_b, c.n_shared,
+       da.deg AS deg_a, db.deg AS deg_b
+FROM cand c
+JOIN deg da ON da.node = c.ea
+JOIN deg db ON db.node = c.eb
+"""
+
 _SQL["kg_entity_degrees"] = f"""
 WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()},
@@ -1424,6 +1480,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_entity_triangles": q_kg_entity_triangles,
     "kg_entity_pagerank": q_kg_entity_pagerank,
     "kg_edge_pmi": q_kg_edge_pmi,
+    "kg_merge_candidates": q_kg_merge_candidates,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_store_delta": q_kg_store_delta,
     "kg_triple_provenance": q_kg_triple_provenance,

@@ -507,3 +507,136 @@ def edge_pmi(pairs_ds, num_partitions: int = None,
         )
 
     return with_counts.map_batches(finish, batch_format="pyarrow")
+
+
+def shared_neighbor_candidates(
+    edges_ds,
+    min_shared: int = 2,
+    hot_cap: int = 1000,
+    num_partitions: int = None,
+):
+    """Entity-merge candidate pairs by neighborhood overlap — the
+    blocking step of graph-signature entity resolution (CESI, Vashishth
+    et al. WWW'18: canonicalize open-KG entities whose neighborhood
+    signatures agree): two canonical entities sharing >=
+    ``min_shared`` distinct graph neighbors become merge candidates,
+    with both degrees attached so consumers derive Jaccard =
+    n_shared / (deg_a + deg_b - n_shared) without a float contract.
+
+    Dataflow: distinct undirected edges -> symmetric incidence rows ->
+    one groupby(node) emits each node's neighbor pairs (the wedge
+    fan-out, O(deg^2) bounded by ``hot_cap``: hubs above the cap are
+    skipped as blocking keys on BOTH engines — a hub shared by
+    everything carries no merge signal, the same argument as stop-word
+    removal) -> per-pair partial counts -> one slim shuffle -> degree
+    attach via two hash joins.  Output:
+    (entity_a, entity_b, n_shared, deg_a, deg_b), a < b.
+    """
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
+    nparts = num_partitions or _graph_join_partitions(edges.count())
+
+    out_schema = pa.schema(
+        [
+            ("entity_a", pa.string()),
+            ("entity_b", pa.string()),
+            ("n_shared", pa.int64()),
+            ("deg_a", pa.int64()),
+            ("deg_b", pa.int64()),
+        ]
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def und_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.string())
+        b = t["b"].combine_chunks().cast(pa.string())
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "nb": pa.concat_arrays([b, a]),
+            }
+        )
+
+    und = edges.map_batches(und_rows, batch_format="pyarrow")
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["node"])
+            .group_by("node")
+            .aggregate([("node", "count")])
+            .rename_columns(["node", "deg"])
+        )
+
+    degrees = (
+        pre_shuffle(und.map_batches(deg_rows, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+
+    _WEDGE = pa.schema([("ea", pa.string()), ("eb", pa.string())])
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        vs = np.sort(g["nb"].to_numpy(dtype="U"))
+        if len(vs) < 2 or len(vs) > hot_cap:
+            return _WEDGE.empty_table()
+        i, j = np.triu_indices(len(vs), k=1)
+        return arrow_block(
+            pd.DataFrame({"ea": vs[i], "eb": vs[j]}), schema=_WEDGE
+        )
+
+    wedge_ds = compact_blocks(
+        pre_shuffle(und).groupby("node").map_groups(
+            wedges, batch_format="pandas"
+        )
+    ).materialize()
+    if wedge_ds.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["ea", "eb"])
+            .aggregate([("ea", "count")])
+            .rename_columns(["ea", "eb", "n_shared"])
+        )
+
+    cand = (
+        pre_shuffle(wedge_ds.map_batches(pair_partial, batch_format="pyarrow"))
+        .groupby(["ea", "eb"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n_shared"], min_shared))
+
+    cand = compact_blocks(cand.map_batches(keep, batch_format="pyarrow"))
+
+    da = compact_blocks(degrees).map_batches(
+        lambda t: pa.table({"ea": t["node"], "deg_a": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    db = compact_blocks(degrees).map_batches(
+        lambda t: pa.table({"eb": t["node"], "deg_b": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    joined = compact_blocks(
+        cand.join(da, join_type="inner", on=("ea",), num_partitions=nparts)
+    ).join(db, join_type="inner", on=("eb",), num_partitions=nparts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_a": t["ea"].combine_chunks(),
+                "entity_b": t["eb"].combine_chunks(),
+                "n_shared": t["n_shared"].combine_chunks(),
+                "deg_a": t["deg_a"].combine_chunks(),
+                "deg_b": t["deg_b"].combine_chunks(),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -164,3 +164,35 @@ def test_edge_pmi_weighted_equals_exploded():
         for r in edge_pmi(weighted_rows, weight_col="w").take_all()
     }
     assert plain == weighted
+
+
+def test_shared_neighbor_candidates_hand_graph(ray_session):
+    """Hand graph: (a,d) share {b,c}; (b,c) share {a,d}; 1-shared
+    pairs filtered; degrees attached; hot_cap drops hub centers."""
+    import ray.data as rd
+
+    from rex_ray.stages.graph import shared_neighbor_candidates
+
+    edges = rd.from_items(
+        [
+            {"a": "a", "b": "b"}, {"a": "a", "b": "c"},
+            {"a": "b", "b": "c"}, {"a": "d", "b": "b"},
+            {"a": "d", "b": "c"}, {"a": "e", "b": "x"},
+        ]
+    )
+    out = (
+        shared_neighbor_candidates(edges, min_shared=2, hot_cap=50)
+        .to_pandas()
+        .sort_values(["entity_a", "entity_b"], ignore_index=True)
+    )
+    assert out[["entity_a", "entity_b", "n_shared"]].values.tolist() == [
+        ["a", "d", 2], ["b", "c", 2],
+    ]
+    assert out["deg_a"].tolist() == [2, 3]
+    assert out["deg_b"].tolist() == [2, 3]
+    # hot_cap=1: every center is skipped -> no candidates
+    empty = shared_neighbor_candidates(
+        rd.from_items([{"a": "a", "b": "b"}, {"a": "a", "b": "c"}]),
+        min_shared=1, hot_cap=1,
+    ).to_pandas()
+    assert len(empty) == 0
