@@ -457,6 +457,20 @@ def q_ta_ppl_tiers(sf_dir: str):
     )
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def q_ta_skipgram_pairs(sf_dir: str):
+    """word2vec skip-gram (center, context) pair counts within a
+    2-token window — the embedding-training pair-generation pass."""
+    from rex_ray.stages.textstats import skipgram_pairs
+
+    return skipgram_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        window=SKIPGRAM_WINDOW,
+    )
+
+
 DSIR_TARGET_MOD = 10
 
 
@@ -1381,6 +1395,18 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM terms GROUP BY doc_id
 """
 
+EXT_SQL["ta_skipgram_pairs"] = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS x FROM d),
+tok AS (SELECT doc_id, x, l[x] AS t FROM pos)
+SELECT t1.t AS center, t2.t AS context, CAST(count(*) AS BIGINT) AS n
+FROM tok t1
+JOIN tok t2 ON t1.doc_id = t2.doc_id
+    AND t2.x BETWEEN t1.x - {SKIPGRAM_WINDOW} AND t1.x + {SKIPGRAM_WINDOW}
+    AND t2.x <> t1.x
+GROUP BY 1, 2
+"""
+
 EXT_SQL["ta_bpe_pairs"] = """
 WITH words AS (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -1829,6 +1855,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_lm_perplexity": q_ta_lm_perplexity,
     "ta_dsir_weights": q_ta_dsir_weights,
     "ta_ppl_tiers": q_ta_ppl_tiers,
+    "ta_skipgram_pairs": q_ta_skipgram_pairs,
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,

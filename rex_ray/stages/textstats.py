@@ -876,3 +876,66 @@ def ppl_tiers(docs_ds, min_count: int = 1):
         )
 
     return m.map_batches(assign, batch_format="pyarrow")
+
+
+def skipgram_pairs(docs_ds, window: int = 2):
+    """word2vec skip-gram training-pair counts (Mikolov et al., 2013):
+    corpus-wide (center, context, n) for every token pair within
+    ``window`` positions inside a document — the pair-generation pass
+    an embedding-training pipeline runs over the whole corpus.
+
+    One streaming pass: each batch concatenates its token streams with
+    a doc-boundary array, builds all pairs per offset with two shifted
+    views + a boundary mask (no per-position Python), and emits
+    per-batch partial counts; ONE groupby-sum shuffle of distinct-pair
+    rows merges (shuffle rows ~ distinct pairs per batch, never
+    positions).  Both directions are emitted, matching the symmetric
+    SQL window join.
+    """
+    from ray.data.aggregate import Sum
+
+    _PARTIAL = pa.schema(
+        [("center", pa.string()), ("context", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks_all: list = []
+        docb: list = []
+        for di, t in enumerate(batch["text"]):
+            ts = t.split(" ")
+            toks_all.extend(ts)
+            docb.extend([di] * len(ts))
+        if len(toks_all) < 2:
+            return _PARTIAL.empty_table()
+        toks = np.asarray(toks_all, dtype=object)
+        db = np.asarray(docb, dtype=np.int64)
+        cs: list = []
+        xs: list = []
+        for off in range(1, window + 1):
+            if off >= len(toks):
+                break
+            ok = db[off:] == db[:-off]
+            a, b = toks[:-off][ok], toks[off:][ok]
+            cs.append(a)
+            xs.append(b)
+            cs.append(b)
+            xs.append(a)
+        if not cs:
+            return _PARTIAL.empty_table()
+        df = pd.DataFrame(
+            {"center": np.concatenate(cs), "context": np.concatenate(xs)}
+        )
+        g = (
+            df.groupby(["center", "context"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return arrow_block(g, schema=_PARTIAL)
+
+    return (
+        pre_shuffle(docs_ds.map_batches(partial, batch_format="pandas"))
+        .groupby(["center", "context"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -703,3 +703,26 @@ def test_ppl_tiers_thirds_and_value_ties(ray_session):
     assert (out[(out["metric"] > hmax) & (out["metric"] <= mmax)]["tier"]
             == "middle").all()
     assert (out["tier"] == "head").sum() >= 3  # ceil(9/3)=3rd smallest cut
+
+
+def test_skipgram_pairs_hand_computed(ray_session):
+    """window=2 pairs on 'a b c' + doc boundary isolation."""
+    import ray
+
+    from rex_ray.stages.textstats import skipgram_pairs
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b c"},
+            {"doc_id": 1, "text": "c"},
+        ]
+    )
+    out = skipgram_pairs(docs, window=2).to_pandas()
+    got = {
+        (r.center, r.context): r.n for r in out.itertuples()
+    }
+    # doc 0 pairs: (a,b)x1 (b,a) (b,c) (c,b) (a,c) (c,a); doc 1 none
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+        ("c", "b"): 1, ("a", "c"): 1, ("c", "a"): 1,
+    }
