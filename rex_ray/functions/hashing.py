@@ -283,7 +283,13 @@ class IntBloomFilter:
         self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
 
     def _positions(self, keys: np.ndarray) -> np.ndarray:
-        u = keys.astype(np.int64).view(np.uint64)
+        if keys.dtype.kind in ("i", "u"):
+            u = keys.astype(np.int64).view(np.uint64)
+        else:
+            # string (or other object) keys: FNV-64 first — Bloom
+            # membership stays false-negative-free, and the exact join
+            # after the prefilter removes any hash-collision slip
+            u = _stable_hash64_batch([str(v) for v in keys.tolist()])
         h1 = splitmix64(u)
         h2 = splitmix64(u ^ _SM_C2) | np.uint64(1)
         i = np.arange(self.k, dtype=np.uint64)[:, None]

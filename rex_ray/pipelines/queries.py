@@ -252,6 +252,42 @@ def q_kg_merge_candidates(sf_dir: str):
     return shared_neighbor_candidates(edges, min_shared=2, hot_cap=50)
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def q_kg_entity_kcore(sf_dir: str):
+    """Fixed-round k-core peel (k=2, 3 rounds) over the canonical
+    entity graph — coreness filter separating the KG's dense backbone
+    from noise-tail entities."""
+    import pyarrow as pa
+
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.graph import kcore_peel
+
+    store = kg.triple_store_from_text_docs(_docs(sf_dir))
+    edges = store.map_batches(
+        lambda t: pa.table({"a": t["subj_id"], "b": t["obj_id"]}),
+        batch_format="pyarrow",
+    )
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_round_sql(i: int) -> str:
+    return f"""
+d{i} AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}
+    ) GROUP BY node
+),
+alive{i} AS (SELECT node FROM d{i} WHERE deg >= {KCORE_K}),
+e{i} AS (
+    SELECT e.a, e.b FROM e{i - 1} e
+    JOIN alive{i} x ON e.a = x.node
+    JOIN alive{i} y ON e.b = y.node
+)"""
+
+
 def _bucket_filter(docs_ds, lo: int, hi: int):
     """Docs whose md5(doc_id) % 100 bucket falls in [lo, hi)
     (stages/relational.bucket_filter; DuckDB computes the identical
@@ -1321,6 +1357,27 @@ JOIN deg da ON da.node = c.ea
 JOIN deg db ON db.node = c.eb
 """
 
+_SQL["kg_entity_kcore"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+store AS (
+    SELECT cs.canonical_id AS subj_id, tri.pred, co.canonical_id AS obj_id
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    GROUP BY 1, 2, 3
+),
+e0 AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS a,
+           greatest(subj_id, obj_id) AS b
+    FROM store WHERE subj_id <> obj_id
+),{",".join(_kcore_round_sql(i) for i in range(1, KCORE_ROUNDS + 1))}
+SELECT node AS entity_id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e{KCORE_ROUNDS}
+    UNION ALL SELECT b FROM e{KCORE_ROUNDS}
+) GROUP BY node
+"""
+
 _SQL["kg_entity_degrees"] = f"""
 WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()},
@@ -1481,6 +1538,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_entity_pagerank": q_kg_entity_pagerank,
     "kg_edge_pmi": q_kg_edge_pmi,
     "kg_merge_candidates": q_kg_merge_candidates,
+    "kg_entity_kcore": q_kg_entity_kcore,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_store_delta": q_kg_store_delta,
     "kg_triple_provenance": q_kg_triple_provenance,

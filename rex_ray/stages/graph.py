@@ -640,3 +640,92 @@ def shared_neighbor_candidates(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def kcore_peel(edges_ds, k: int = 2, rounds: int = 3,
+               num_partitions: int = None):
+    """Fixed-round k-core peeling over the undirected entity graph —
+    the standard coreness filter for separating the KG's dense
+    backbone from noise-tail entities (Seidman 1983; at web scale the
+    Pregel-style round-synchronous peel is how k-core runs on Giraph/
+    GraphX).  Each round removes every node with current degree < k
+    and all its edges; ``rounds`` is fixed (like :func:`pagerank`'s
+    fixed supersteps) so the result is deterministic and a DuckDB
+    oracle can replay the same number of unrolled rounds — after
+    enough rounds this converges to the true k-core (asserted against
+    a driver fixpoint twin in tests).
+
+    Per round: one slim degree aggregate + two Bloom-prefiltered exact
+    semi-joins (:func:`rex_ray.stages.relational.bloom_semi_join`) to
+    keep edges whose BOTH endpoints survive — dropped-majority rounds
+    ship only the survivor sliver through the shuffle.  Output:
+    (entity_id, deg) for nodes alive after ``rounds`` peels.
+    """
+    from ray.data.aggregate import Sum
+
+    from rex_ray.stages.relational import bloom_semi_join
+
+    import ray.data as rd
+
+    out_schema = pa.schema([("entity_id", pa.string()), ("deg", pa.int64())])
+
+    edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
+    nparts = num_partitions or _graph_join_partitions(edges.count())
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [
+                t["a"].combine_chunks().cast(pa.string()),
+                t["b"].combine_chunks().cast(pa.string()),
+            ]
+        )
+        return (
+            pa.table({"node": ids})
+            .group_by("node")
+            .aggregate([("node", "count")])
+            .rename_columns(["node", "deg"])
+        )
+
+    def degrees_of(e):
+        return (
+            pre_shuffle(e.map_batches(deg_rows, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("deg", alias_name="deg"))
+        )
+
+    for _ in range(rounds):
+        if edges.count() == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        def keep_alive(t: pa.Table, _k=k) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.greater_equal(t["deg"], _k)).select(["node"])
+
+        alive = compact_blocks(degrees_of(edges)).map_batches(
+            keep_alive, batch_format="pyarrow"
+        ).materialize()
+        if alive.count() == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        kept = bloom_semi_join(
+            edges, alive.map_batches(
+                lambda t: pa.table({"a": t["node"]}), batch_format="pyarrow"
+            ), on="a", num_partitions=nparts,
+        )
+        kept = bloom_semi_join(
+            compact_blocks(kept), alive.map_batches(
+                lambda t: pa.table({"b": t["node"]}), batch_format="pyarrow"
+            ), on="b", num_partitions=nparts,
+        )
+        edges = compact_blocks(kept.select_columns(["a", "b"])).materialize()
+
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    return compact_blocks(degrees_of(edges)).map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t["node"].combine_chunks(),
+                "deg": t["deg"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -203,7 +203,21 @@ def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
         keys = t[on].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(bf.contains_many(keys)))
 
-    candidates = left.map_batches(prefilter, batch_format="pyarrow")
+    # staging the candidates is free (the join's all-to-all would
+    # materialize them anyway) and lets us short-circuit the fully-
+    # filtered case: an all-empty left side loses its schema inside
+    # the hash-shuffle join (Ray 2.49) and aborts with ArrowInvalid —
+    # and with zero Bloom-passing rows the exact answer IS empty.
+    candidates = compact_blocks(
+        left.map_batches(prefilter, batch_format="pyarrow")
+    ).materialize()
+    if candidates.count() == 0:
+        import ray.data as rd
+
+        s = candidates.schema() or left.schema()
+        return rd.from_arrow(
+            pa.schema(list(zip(s.names, s.types))).empty_table()
+        )
 
     # exact verify: distinct right keys (partial unique per batch keeps
     # the shuffle at O(distinct)) joined back to the candidates.

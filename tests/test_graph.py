@@ -196,3 +196,40 @@ def test_shared_neighbor_candidates_hand_graph(ray_session):
         min_shared=1, hot_cap=1,
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_kcore_peel_matches_fixpoint(ray_session):
+    """Triangle + pendant chain: 3 peels reach the true 2-core
+    (the triangle), each survivor at degree 2."""
+    import ray.data as rd
+
+    from rex_ray.stages.graph import kcore_peel
+
+    edges = rd.from_items(
+        [
+            {"a": "a", "b": "b"}, {"a": "b", "b": "c"},
+            {"a": "c", "b": "a"}, {"a": "c", "b": "d"},
+            {"a": "d", "b": "e"},
+        ]
+    )
+    out = kcore_peel(edges, k=2, rounds=3).to_pandas().sort_values(
+        "entity_id", ignore_index=True
+    )
+    assert out["entity_id"].tolist() == ["a", "b", "c"]
+    assert out["deg"].tolist() == [2, 2, 2]
+    # k=3: nothing survives (no 3-core) -> empty with stable schema
+    # (Dataset-level: Ray's to_pandas drops columns on empty data)
+    empty = kcore_peel(edges, k=3, rounds=3)
+    assert empty.count() == 0
+    assert empty.schema().names == ["entity_id", "deg"]
+
+
+def test_bloom_filter_string_keys_no_false_negatives():
+    from rex_ray.functions.hashing import IntBloomFilter
+
+    import numpy as np
+
+    bf = IntBloomFilter(num_bits=1 << 12)
+    keys = np.asarray([f"ent:{i}" for i in range(200)], dtype=object)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()
