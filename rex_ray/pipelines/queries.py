@@ -252,6 +252,19 @@ def q_kg_merge_candidates(sf_dir: str):
     return shared_neighbor_candidates(edges, min_shared=2, hot_cap=50)
 
 
+def q_kg_predicate_overlap(sf_dir: str):
+    """AMIE/PATTY-style predicate domain-overlap candidates:
+    predicates attested for >= 2 identical distinct subjects, with
+    distinct-subject supports attached (overlap ratio derivable
+    downstream)."""
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.aggregate import predicate_overlap
+
+    return predicate_overlap(
+        kg.triple_store_from_text_docs(_docs(sf_dir)), min_shared=2
+    )
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 3
 
@@ -1357,6 +1370,34 @@ JOIN deg da ON da.node = c.ea
 JOIN deg db ON db.node = c.eb
 """
 
+_SQL["kg_predicate_overlap"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+store AS (
+    SELECT cs.canonical_id AS subj_id, tri.pred, co.canonical_id AS obj_id
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    GROUP BY 1, 2, 3
+),
+sp AS (SELECT DISTINCT subj_id, pred FROM store),
+pp AS (
+    SELECT s1.pred AS p1, s2.pred AS p2
+    FROM sp s1
+    JOIN sp s2 ON s1.subj_id = s2.subj_id AND s1.pred < s2.pred
+),
+cand AS (
+    SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_shared
+    FROM pp GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sup AS (SELECT pred, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY 1)
+SELECT c.p1 AS pred_a, c.p2 AS pred_b, c.n_shared,
+       sa.n AS n_a, sb.n AS n_b
+FROM cand c
+JOIN sup sa ON sa.pred = c.p1
+JOIN sup sb ON sb.pred = c.p2
+"""
+
 _SQL["kg_entity_kcore"] = f"""
 WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()},
@@ -1539,6 +1580,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_edge_pmi": q_kg_edge_pmi,
     "kg_merge_candidates": q_kg_merge_candidates,
     "kg_entity_kcore": q_kg_entity_kcore,
+    "kg_predicate_overlap": q_kg_predicate_overlap,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_store_delta": q_kg_store_delta,
     "kg_triple_provenance": q_kg_triple_provenance,

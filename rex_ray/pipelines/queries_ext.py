@@ -457,6 +457,21 @@ def q_ta_ppl_tiers(sf_dir: str):
     )
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def q_ta_chunks(sf_dir: str):
+    """RAG-style fixed-stride overlapping chunker: stable
+    (doc_id, chunk_id) keys, token spans, chunk text."""
+    from rex_ray.stages.textstats import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
 SKIPGRAM_WINDOW = 2
 
 
@@ -1395,6 +1410,26 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM terms GROUP BY doc_id
 """
 
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+EXT_SQL["ta_chunks"] = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+k AS (
+    SELECT doc_id, l,
+           unnest(range(0, (len(l) + {_CHUNK_STRIDE} - 1)
+                           // {_CHUNK_STRIDE})) AS c
+    FROM d
+)
+SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+       CAST(c * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+       CAST(len(list_slice(l, c * {_CHUNK_STRIDE} + 1,
+                           c * {_CHUNK_STRIDE} + {CHUNK_TOKENS}))
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(l, c * {_CHUNK_STRIDE} + 1,
+                                  c * {_CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                       ' ') AS chunk_text
+FROM k
+"""
+
 EXT_SQL["ta_skipgram_pairs"] = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 pos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS x FROM d),
@@ -1856,6 +1891,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_dsir_weights": q_ta_dsir_weights,
     "ta_ppl_tiers": q_ta_ppl_tiers,
     "ta_skipgram_pairs": q_ta_skipgram_pairs,
+    "ta_chunks": q_ta_chunks,
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 from typing import List
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data.aggregate import Max, Sum
 
@@ -236,3 +238,124 @@ def triple_provenance(linked_triples_ds, evidence_k: int = 3):
         linked_triples_ds.map_batches(pairs, batch_format="pandas")
     )
     return slim.groupby(KEYS).map_groups(merge, batch_format="pandas")
+
+
+def predicate_overlap(store_ds, min_shared: int = 2):
+    """Predicate-synonym / domain-overlap candidates — the
+    schema-induction signal behind AMIE/PATTY-style predicate
+    taxonomies (Galárraga et al. WWW'13): two predicates attested for
+    >= ``min_shared`` identical DISTINCT subjects are domain-overlap
+    candidates, with each predicate's distinct-subject support
+    attached so overlap ratio = n_shared / n_a is derivable
+    downstream without a float contract.
+
+    Dataflow: ONE groupby on subj_id co-locates a subject's predicates
+    (per-group ``np.unique`` makes the pair set exactly distinct —
+    no separate global dedup pass); per-subject predicate pairs ->
+    partial counts -> one predicate-vocabulary-sized shuffle.
+    Supports are the distinct (subj, pred) counts: per-batch distinct
+    partials -> pair shuffle -> per-pred count, broadcast worker-built
+    (the predicate vocabulary is small by construction).
+    Output: (pred_a, pred_b, n_shared, n_a, n_b), a < b.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+
+    _PAIR = pa.schema(
+        [("pred_a", pa.string()), ("pred_b", pa.string()),
+         ("n_shared", pa.int64())]
+    )
+
+    def sp_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["subj_id", "pred"])
+            .group_by(["subj_id", "pred"])
+            .aggregate([("pred", "count")])
+            .select(["subj_id", "pred"])
+        )
+
+    sp = (
+        pre_shuffle(store_ds.map_batches(sp_partial, batch_format="pyarrow"))
+        .groupby(["subj_id", "pred"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["subj_id", "pred"])
+    )
+
+    def sup_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["pred"])
+            .group_by("pred")
+            .aggregate([("pred", "count")])
+            .rename_columns(["pred", "n"])
+        )
+
+    sup_ds = (
+        pre_shuffle(sp.map_batches(sup_partial, batch_format="pyarrow"))
+        .groupby("pred")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    sup_ref = _worker_built_ref(
+        sup_ds,
+        lambda tables: {
+            p: int(n)
+            for t in tables
+            if t.num_rows
+            for p, n in zip(t["pred"].to_pylist(), t["n"].to_pylist())
+        },
+    )
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        ps = np.unique(g["pred"].to_numpy(dtype="U"))
+        if len(ps) < 2:
+            return _PAIR.empty_table()
+        i, j = np.triu_indices(len(ps), k=1)
+        return arrow_block(
+            pd.DataFrame(
+                {"pred_a": ps[i], "pred_b": ps[j],
+                 "n_shared": np.ones(len(i), dtype=np.int64)}
+            ),
+            schema=_PAIR,
+        )
+
+    pairs = (
+        pre_shuffle(sp)
+        .groupby("subj_id")
+        .map_groups(wedges, batch_format="pandas")
+    )
+    cand = (
+        pre_shuffle(pairs)
+        .groupby(["pred_a", "pred_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("pred_a", pa.string()),
+            ("pred_b", pa.string()),
+            ("n_shared", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["n_shared"], min_shared))
+        sup = _side_object(sup_ref)
+        pa_ = t["pred_a"].to_pylist()
+        pb_ = t["pred_b"].to_pylist()
+        return pa.table(
+            {
+                "pred_a": pa.array(pa_, pa.string()),
+                "pred_b": pa.array(pb_, pa.string()),
+                "n_shared": t["n_shared"].combine_chunks(),
+                "n_a": pa.array([sup[p] for p in pa_], pa.int64()),
+                "n_b": pa.array([sup[p] for p in pb_], pa.int64()),
+            }
+        )
+
+    return cand.map_batches(attach, batch_format="pyarrow")

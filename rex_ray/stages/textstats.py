@@ -939,3 +939,63 @@ def skipgram_pairs(docs_ds, window: int = 2):
         .groupby(["center", "context"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def chunk_documents(docs_ds, chunk_tokens: int = 64, overlap: int = 16):
+    """RAG-style document chunking: split every document into
+    fixed-size token windows with overlap (stride = chunk_tokens −
+    overlap), each chunk carrying a stable (doc_id, chunk_id) key and
+    its token span — the standard retrieval-corpus preparation pass
+    (LangChain/LlamaIndex chunkers; fixed-stride variant so ids are a
+    pure function of position and re-runs/shards are stable).
+
+    Pure map-side flat-map (one streaming pass, no shuffle): output
+    rows = ceil(max(n_tokens − overlap, 1) / stride) per doc.  The
+    final short window is kept iff it starts inside the document
+    (standard stride semantics).  Output: (doc_id, chunk_id,
+    start_tok 1-based, n_tokens, chunk_text).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
+
+    def chunks(batch: pd.DataFrame) -> pa.Table:
+        ids: list = []
+        cids: list = []
+        starts: list = []
+        lens: list = []
+        texts: list = []
+        for doc_id, t in zip(batch["doc_id"], batch["text"]):
+            ts = t.split(" ")
+            n = len(ts)
+            c = 0
+            for s in range(0, n, stride):
+                w = ts[s: s + chunk_tokens]
+                ids.append(doc_id)
+                cids.append(c)
+                starts.append(s + 1)
+                lens.append(len(w))
+                texts.append(" ".join(w))
+                c += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return docs_ds.map_batches(chunks, batch_format="pandas")

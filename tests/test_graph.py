@@ -233,3 +233,25 @@ def test_bloom_filter_string_keys_no_false_negatives():
     keys = np.asarray([f"ent:{i}" for i in range(200)], dtype=object)
     bf.add_many(keys)
     assert bf.contains_many(keys).all()
+
+
+def test_predicate_overlap_hand_store(ray_session):
+    """Predicates sharing >=2 distinct subjects; duplicate (subj,pred)
+    rows dedup before counting; supports = distinct subjects."""
+    import ray.data as rd
+
+    from rex_ray.stages.aggregate import predicate_overlap
+
+    store = rd.from_items(
+        [
+            {"subj_id": "s1", "pred": "p", "obj_id": "o1"},
+            {"subj_id": "s1", "pred": "p", "obj_id": "o2"},  # dup subj-pred
+            {"subj_id": "s1", "pred": "q", "obj_id": "o1"},
+            {"subj_id": "s2", "pred": "p", "obj_id": "o3"},
+            {"subj_id": "s2", "pred": "q", "obj_id": "o4"},
+            {"subj_id": "s3", "pred": "q", "obj_id": "o5"},
+            {"subj_id": "s3", "pred": "r", "obj_id": "o5"},  # only 1 shared
+        ]
+    )
+    out = predicate_overlap(store, min_shared=2).to_pandas()
+    assert out.values.tolist() == [["p", "q", 2, 2, 3]]
