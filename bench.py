@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "ta_ppl_tiers",                  # exact-quantile corpus tiering
     "dd_semantic_dups",              # SemDeDup within-cluster dedup
     "events_interval",               # broadcast interval range join
+    "ta_skipgram_pairs",             # embedding training-pair counts
+    "ta_chunks",                     # map-side overlapping chunker
+    "kg_merge_candidates",           # neighborhood-overlap ER blocking
+    "kg_entity_kcore",               # 3-round degree peel
 ]
 HEADLINE = "kg_triple_store_interleaved"
 
