@@ -396,9 +396,11 @@ def q_kg_predicate_signatures(sf_dir: str):
     totals = partial_groupby_sum(
         counts.select_columns(["pred", "n"]), ["pred"], {"n": "tot"}
     )
+    # the (pred, subj_type, obj_type) vocabulary is bounded by
+    # construction — 2 hash partitions beat a cluster-wide actor pool
     joined = compact_blocks(counts).join(
         compact_blocks(totals), join_type="inner", on=("pred",),
-        num_partitions=default_join_partitions(),
+        num_partitions=2,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -447,9 +449,13 @@ def q_kg_two_hop_paths(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    # partitions sized to the STORE (each hash partition is an
+    # aggregator actor; 32 actors for a 144-row store is pure spin-up)
+    nparts = max(2, min(default_join_partitions(),
+                        store.count() // 50000 + 1))
     paths = compact_blocks(left).join(
         compact_blocks(right), join_type="inner", on=("mid",),
-        num_partitions=default_join_partitions(),
+        num_partitions=nparts,
     )
 
     def partials(t: pa.Table) -> pa.Table:
@@ -572,10 +578,12 @@ def q_kg_negative_samples(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    # partitions sized to the store-scale candidate table
     joined = compact_blocks(cand).join(
         compact_blocks(known), join_type="left_outer",
         on=("subj_id", "pred", "neg_obj_id"),
-        num_partitions=default_join_partitions(),
+        num_partitions=max(2, min(default_join_partitions(),
+                                  store.count() // 25000 + 1)),
     )
 
     def finish(t: pa.Table) -> pa.Table:
