@@ -777,6 +777,17 @@ def q_dd_decontam(sf_dir: str):
     return decontaminate(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_dd_split_leakage(sf_dir: str):
+    """Train/val split-hygiene audit: train-split docs (md5 buckets
+    0-89) sharing any distinct 8-gram with the val split (buckets
+    90-99)."""
+    from rex_ray.stages.decontam import split_leakage
+
+    return split_leakage(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_mm_media_context(sf_dir: str):
     """Text-neighborhood alignment for every media span (the record a
     caption/ASR/grounding stage consumes)."""
@@ -1812,6 +1823,26 @@ FROM isl GROUP BY da, db, diag, grp
 # stages/decontam.py: n=8 token grams, benchmark = doc_id % 10 == 0.
 # The Ray side joins on md5-64 gram hashes; the oracle joins on the
 # gram strings themselves (equivalent up to md5-64 collisions).
+EXT_SQL["dd_split_leakage"] = """
+WITH b AS (
+    SELECT doc_id, text,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 100 AS bucket
+    FROM documents
+),
+toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS t FROM b),
+grams AS (
+    SELECT doc_id, bucket, array_to_string(t[i+1:i+8], ' ') AS g
+    FROM toks,
+         LATERAL (SELECT unnest(range(greatest(len(t) - 7, 0))) AS i) u
+),
+vg AS (SELECT DISTINCT g FROM grams WHERE bucket >= 90),
+tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE bucket < 90)
+SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tg JOIN vg USING (g)
+GROUP BY tg.doc_id
+"""
+
 EXT_SQL["dd_decontam"] = """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1907,6 +1938,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_line_dedup": q_dd_line_dedup,
     "dd_curation": q_dd_curation,
     "dd_semantic_dups": q_dd_semantic_dups,
+    "dd_split_leakage": q_dd_split_leakage,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_ivf_exact": q_ann_ivf_exact,

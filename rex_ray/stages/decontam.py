@@ -149,3 +149,26 @@ def decontaminate(
     return train.map_batches(
         ContamProber(ref, n), batch_format="pandas"
     )
+
+
+def split_leakage(
+    docs_ds, val_lo: int = 90, val_hi: int = 100, n: int = N_GRAM
+):
+    """Split hygiene: TRAIN-split docs sharing any distinct n-gram
+    with the VAL split — the leakage audit run after every split
+    materialization (train/test overlap inflates eval, Lewis et al.
+    ACL'21).  Splits are the md5 doc buckets of
+    :func:`rex_ray.stages.relational.bucket_filter` (a pure id
+    function — the same assignment ``ta_dataset_splits`` materializes,
+    reproduced bit-exactly by the oracle), VAL = buckets
+    [val_lo, val_hi), TRAIN = [0, val_lo).  Dataflow identical to
+    :func:`decontaminate`: VAL gram hashes -> ONE worker-built sorted
+    uint64 broadcast; TRAIN side streams a searchsorted probe.
+    Output: (doc_id, n_hits) for leaking train docs.
+    """
+    from rex_ray.stages.relational import bucket_filter
+
+    val = bucket_filter(docs_ds, "doc_id", val_lo, val_hi)
+    train = bucket_filter(docs_ds, "doc_id", 0, val_lo)
+    ref = benchmark_gram_ref(val, n)
+    return train.map_batches(ContamProber(ref, n), batch_format="pandas")
