@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "ta_chunks",                     # map-side overlapping chunker
     "kg_merge_candidates",           # neighborhood-overlap ER blocking
     "kg_entity_kcore",               # 3-round degree peel
+    "events_bursts",                 # row-window burst flags
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

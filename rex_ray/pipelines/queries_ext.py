@@ -319,6 +319,21 @@ def q_events_asof(sf_dir: str):
     )
 
 
+BURST_LOOKBACK, BURST_MULT = 3, 2
+
+
+def q_events_bursts(sf_dir: str):
+    """Per-type hourly burst flags: n > 2x the max of the 3 preceding
+    non-empty hour buckets (row window, all-integer)."""
+    from rex_ray.stages.windows import burst_hours
+
+    return burst_hours(
+        _read(sf_dir, "events", columns=["ts", "event_type"]),
+        lookback=BURST_LOOKBACK,
+        mult=BURST_MULT,
+    )
+
+
 INTERVAL_COHORT_MOD = 20
 
 
@@ -1070,6 +1085,25 @@ FROM r
 JOIN n USING (event_type)
 JOIN (VALUES (0.5), (0.9), (0.99)) AS p(p)
   ON r.rn = CAST(ceil(p.p * n.n) AS BIGINT)
+"""
+
+EXT_SQL["events_bursts"] = f"""
+WITH c AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, bucket, n,
+           max(n) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN {BURST_LOOKBACK} PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM c
+)
+SELECT event_type, bucket * 3600000000 AS bucket_start_us, n AS n_events,
+       prev_max,
+       (prev_max IS NOT NULL AND n > {BURST_MULT} * prev_max) AS is_burst
+FROM w
 """
 
 EXT_SQL["events_interval"] = f"""
@@ -1904,6 +1938,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "events_sliding": q_events_sliding,
     "events_asof": q_events_asof,
     "events_interval": q_events_interval,
+    "events_bursts": q_events_bursts,
     "events_quantiles": q_events_quantiles,
     "ta_fingerprints": q_ta_fingerprints,
     "ta_source_cap": q_ta_source_cap,

@@ -329,3 +329,89 @@ def interval_join_events(
         )
 
     return per_interval.map_batches(attach, batch_format="pyarrow")
+
+
+def burst_hours(events_ds, window_us: int = 3_600_000_000,
+                lookback: int = 3, mult: int = 2):
+    """Per-type traffic-burst detection — the windowed-aggregate
+    anomaly pass of a streaming events pipeline: an hour bucket is a
+    burst when its event count exceeds ``mult`` x the max of the
+    ``lookback`` preceding NON-EMPTY buckets of the same type (row
+    window, ``ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING`` in
+    SQL — both engines skip empty hours identically).  All-integer
+    arithmetic, no float contract.
+
+    Dataflow: per-batch (event_type, bucket) partial counts -> ONE
+    slim groupby-sum shuffle -> groupby(event_type) window pass (the
+    per-type series is |hours| rows — tiny by construction; a
+    centuries-long stream would sub-bucket by year first).  Output:
+    (event_type, bucket_start_us, n_events, prev_max nullable,
+    is_burst).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        bucket = us.to_numpy(zero_copy_only=False) // window_us
+        return (
+            pa.table(
+                {
+                    "event_type": t["event_type"].combine_chunks(),
+                    "bucket": pa.array(bucket, pa.int64()),
+                }
+            )
+            .group_by(["event_type", "bucket"])
+            .aggregate([("bucket", "count")])
+            .rename_columns(["event_type", "bucket", "n"])
+        )
+
+    counts = (
+        pre_shuffle(events_ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket_start_us", pa.int64()),
+            ("n_events", pa.int64()),
+            ("prev_max", pa.int64()),
+            ("is_burst", pa.bool_()),
+        ]
+    )
+
+    def per_type(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("bucket", ignore_index=True)
+        n = g["n"].to_numpy().astype(np.int64)
+        prev = np.full(len(n), -1, dtype=np.int64)
+        for i in range(1, len(n)):
+            lo = max(0, i - lookback)
+            prev[i] = n[lo:i].max()
+        has_prev = prev >= 0
+        burst = has_prev & (n > mult * prev)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    g["event_type"].tolist(), pa.string()
+                ),
+                "bucket_start_us": pa.array(
+                    g["bucket"].to_numpy().astype(np.int64) * window_us,
+                    pa.int64(),
+                ),
+                "n_events": pa.array(n, pa.int64()),
+                "prev_max": pa.array(
+                    [int(p) if h else None
+                     for p, h in zip(prev, has_prev)],
+                    pa.int64(),
+                ),
+                "is_burst": pa.array(burst),
+            },
+            schema=out_schema,
+        )
+
+    return pre_shuffle(counts).groupby("event_type").map_groups(
+        per_type, batch_format="pandas"
+    )

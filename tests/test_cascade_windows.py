@@ -218,3 +218,33 @@ def test_interval_join_hand_computed(ray_session):
     assert out["end_ts_us"].tolist() == [200, 1000]
     assert out["n_events"].tolist() == [3, 1]   # u0@100, u1@150, u0@200
     assert out["n_users"].tolist() == [2, 1]
+
+
+def test_burst_hours_hand_computed(ray_session):
+    """Row-window burst rule on a hand series; first bucket has no
+    lookback; empty hours are skipped on both engines."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.windows import burst_hours
+
+    H = 3_600_000_000
+    # type 'a' hourly counts: h0:2, h1:1, h5:7 (h2-4 empty, skipped)
+    ts = [0] * 2 + [H] * 1 + [5 * H] * 7
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_type": ["a"] * len(ts),
+        }
+    )
+    out = (
+        burst_hours(rd.from_pandas(ev).repartition(3), lookback=3, mult=2)
+        .to_pandas()
+        .sort_values("bucket_start_us", ignore_index=True)
+    )
+    assert out["n_events"].tolist() == [2, 1, 7]
+    assert out["prev_max"].tolist()[0] is pd.NA or pd.isna(
+        out["prev_max"].tolist()[0]
+    )
+    assert out["prev_max"].tolist()[1:] == [2, 2]
+    assert out["is_burst"].tolist() == [False, False, True]  # 7 > 2*2
