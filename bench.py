@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "kg_merge_candidates",           # neighborhood-overlap ER blocking
     "kg_entity_kcore",               # 3-round degree peel
     "events_bursts",                 # row-window burst flags
+    "dd_split_leakage",              # train/val n-gram leakage audit
+    "kg_predicate_overlap",          # AMIE domain-overlap candidates
 ]
 HEADLINE = "kg_triple_store_interleaved"
 
