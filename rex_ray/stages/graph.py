@@ -701,20 +701,26 @@ def kcore_peel(edges_ds, k: int = 2, rounds: int = 3,
 
             return t.filter(pc.greater_equal(t["deg"], _k)).select(["node"])
 
-        alive = compact_blocks(degrees_of(edges)).map_batches(
-            keep_alive, batch_format="pyarrow"
+        degs = compact_blocks(degrees_of(edges)).materialize()
+        alive = compact_blocks(
+            degs.map_batches(keep_alive, batch_format="pyarrow")
         ).materialize()
         if alive.count() == 0:
             return rd.from_arrow(out_schema.empty_table())
+        if alive.count() == degs.count():
+            # fixpoint: no node below k, so this and every later round
+            # is the identity — same result as running them (the SQL
+            # oracle's extra unrolled rounds are no-ops too)
+            break
         kept = bloom_semi_join(
             edges, alive.map_batches(
                 lambda t: pa.table({"a": t["node"]}), batch_format="pyarrow"
-            ), on="a", num_partitions=nparts,
+            ), on="a", num_partitions=nparts, right_is_distinct=True,
         )
         kept = bloom_semi_join(
             compact_blocks(kept), alive.map_batches(
                 lambda t: pa.table({"b": t["node"]}), batch_format="pyarrow"
-            ), on="b", num_partitions=nparts,
+            ), on="b", num_partitions=nparts, right_is_distinct=True,
         )
         edges = compact_blocks(kept.select_columns(["a", "b"])).materialize()
 

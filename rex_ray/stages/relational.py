@@ -168,7 +168,8 @@ def per_key_cap(ds, key_col: str, id_col: str, n: int):
 
 
 def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
-                    num_hashes: int = 5, num_partitions: int = None):
+                    num_hashes: int = 5, num_partitions: int = None,
+                    right_is_distinct: bool = False):
     """Exact semi-join ``left ⋉ right`` with a broadcast Bloom
     prefilter: the left side is filtered against a bitmap of the right
     keys BEFORE the exact hash join, so only candidate rows (true
@@ -221,6 +222,9 @@ def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
 
     # exact verify: distinct right keys (partial unique per batch keeps
     # the shuffle at O(distinct)) joined back to the candidates.
+    # right_is_distinct=True skips the dedup shuffle entirely — pass it
+    # when the right side is already key-unique (e.g. a groupby output),
+    # where re-deduplicating costs a pointless all-to-all per call.
     def batch_unique(t: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc
 
@@ -228,12 +232,17 @@ def bloom_semi_join(left, right, on: str, num_bits: int = 1 << 20,
 
     from ray.data.aggregate import Count
 
-    distinct = (
-        pre_shuffle(right_keys.map_batches(batch_unique, batch_format="pyarrow"))
-        .groupby(on)
-        .aggregate(Count(alias_name="_n"))
-        .select_columns([on])
-    )
+    if right_is_distinct:
+        distinct = right_keys
+    else:
+        distinct = (
+            pre_shuffle(
+                right_keys.map_batches(batch_unique, batch_format="pyarrow")
+            )
+            .groupby(on)
+            .aggregate(Count(alias_name="_n"))
+            .select_columns([on])
+        )
     # compact both sides: the Bloom prefilter can emit empty first
     # blocks and `distinct` is a groupby output — either would lose the
     # join's schema broadcast (functions/blocks.compact_blocks).
