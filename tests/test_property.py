@@ -251,3 +251,75 @@ def test_prefix_sum_bucket_invariance(rows, num_buckets):
     for k, v in sorted(rows):
         assert got[k] == run
         run += v
+
+
+# ---------------------------------------------------------------------------
+# chunker: coverage + reconstruction invariants (pure kernel logic)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(1, 60),          # n tokens
+    st.integers(2, 12),          # chunk size
+    st.integers(0, 8),           # overlap (clamped below chunk)
+)
+@settings(max_examples=60, deadline=None)
+def test_chunker_covers_every_token_once_per_stride(n, chunk, ov):
+    """Every token appears in >=1 chunk; non-overlap prefixes
+    concatenate back to the document; chunk ids are dense from 0."""
+    import pandas as pd
+
+    ov = min(ov, chunk - 1)
+    stride = chunk - ov
+    toks = [f"t{i}" for i in range(n)]
+
+    # drive the batch fn directly (no Ray) — same code the stage runs
+    from rex_ray.stages.textstats import chunk_documents
+
+    class _FakeDS:
+        def map_batches(self, fn, **kw):
+            self.out = fn(pd.DataFrame(
+                {"doc_id": [7], "text": [" ".join(toks)]}
+            ))
+            return self
+
+    ds = _FakeDS()
+    out = chunk_documents(ds, chunk_tokens=chunk, overlap=ov).out.to_pandas()
+    assert out["chunk_id"].tolist() == list(range(len(out)))
+    covered = set()
+    for r in out.itertuples():
+        got = r.chunk_text.split(" ")
+        assert got == toks[r.start_tok - 1: r.start_tok - 1 + r.n_tokens]
+        covered.update(range(r.start_tok - 1, r.start_tok - 1 + r.n_tokens))
+    assert covered == set(range(n))
+    # stride-prefix reconstruction
+    rebuilt = []
+    for r in out.itertuples():
+        rebuilt.extend(r.chunk_text.split(" ")[:stride])
+    assert rebuilt == toks
+
+
+@given(st.lists(st.integers(0, 5), min_size=2, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_micronat_terms_order_independent(counts):
+    """The micronat contract: per-position int terms are identical
+    whatever batch the position lands in (permutation invariance of
+    the scoring kernel)."""
+    import numpy as np
+
+    from rex_ray.functions import hashing as H
+    from rex_ray.stages.textstats import _micronat_terms
+
+    grams = [f"a{i} b{i}" for i in range(len(counts))]
+    hist = [f"a{i}" for i in range(len(counts))]
+    gh = H.md5_hash64_batch(grams)
+    uh = H.md5_hash64_batch(hist)
+    o = np.argsort(gh)
+    ou = np.argsort(uh)
+    model = (
+        (gh[o], np.asarray(counts, dtype=np.int64)[o]),
+        (uh[ou], (np.asarray(counts, dtype=np.int64) + 1)[ou], 17),
+    )
+    hv, hu = H.md5_hash64_batch(grams), H.md5_hash64_batch(hist)
+    full = _micronat_terms(hv, hu, model)
+    perm = np.random.default_rng(0).permutation(len(grams))
+    assert (_micronat_terms(hv[perm], hu[perm], model) == full[perm]).all()
