@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "events_bursts",                 # row-window burst flags
     "dd_split_leakage",              # train/val n-gram leakage audit
     "kg_predicate_overlap",          # AMIE domain-overlap candidates
+    "kg_grounded_mentions",          # mention-media span grounding
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

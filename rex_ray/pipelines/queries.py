@@ -252,6 +252,16 @@ def q_kg_merge_candidates(sf_dir: str):
     return shared_neighbor_candidates(edges, min_shared=2, hot_cap=50)
 
 
+def q_kg_grounded_mentions(sf_dir: str):
+    """Mention->media grounding over the interleaved docs: each
+    gazetteer mention attached to the last media span preceding it in
+    the span layout (the caption/grounding record)."""
+    from rex_ray.sources import interleaved as il
+    from rex_ray.stages.multimodal import ground_mentions
+
+    return ground_mentions(il.synthesize_interleaved(_docs(sf_dir)))
+
+
 def q_kg_predicate_overlap(sf_dir: str):
     """AMIE/PATTY-style predicate domain-overlap candidates:
     predicates attested for >= 2 identical distinct subjects, with
@@ -1378,6 +1388,16 @@ JOIN deg da ON da.node = c.ea
 JOIN deg db ON db.node = c.eb
 """
 
+_SQL["kg_grounded_mentions"] = f"""
+WITH {_kg_ctes()}
+SELECT printf('doc-%08d', m.doc_id) AS doc_id, m.pos, m.surface,
+       m.ent_type,
+       'media://' || m.doc_id || '/'
+           || ((m.pos // (4 + m.doc_id % 4)) // 2) AS media_ref
+FROM mention m
+WHERE (m.pos // (4 + m.doc_id % 4)) // 2 >= 1
+"""
+
 _SQL["kg_predicate_overlap"] = f"""
 WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()},
@@ -1589,6 +1609,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_merge_candidates": q_kg_merge_candidates,
     "kg_entity_kcore": q_kg_entity_kcore,
     "kg_predicate_overlap": q_kg_predicate_overlap,
+    "kg_grounded_mentions": q_kg_grounded_mentions,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,
     "kg_store_delta": q_kg_store_delta,
     "kg_triple_provenance": q_kg_triple_provenance,

@@ -197,3 +197,108 @@ def media_context(interleaved_ds):
         )
 
     return interleaved_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def ground_mentions(inter_ds):
+    """Mention→media grounding over interleaved documents: every
+    gazetteer mention is attached to the LAST media span preceding its
+    token position — the record an entity-grounding / caption-linking
+    stage consumes.  The grounding comes from the SPAN LAYOUT the
+    interleaved docs carry (kind / media_ref / order), not from any
+    synthetic closed form, so it works for arbitrary interleaved input;
+    the oracle merely replays the synthesis layout to check it.
+
+    One streaming ``map_batches`` pass: flatten spans once (Arrow),
+    token counts per text span via one vectorized split, per-doc media
+    token-boundaries by segmented cumsum, gazetteer mentions on the
+    text view (the flagship's own vectorized detector), then one
+    ``searchsorted`` per doc to ground.  Output: (doc_id, pos, surface,
+    ent_type, media_ref) for mentions with >= 1 preceding media span.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rex_ray.sources.interleaved import (
+        text_view_batch,
+        validate_span_sequence,
+    )
+    from rex_ray.stages.extract import MentionExtractor
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("pos", pa.int64()),
+            ("surface", pa.string()),
+            ("ent_type", pa.string()),
+            ("media_ref", pa.string()),
+        ]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        validate_span_sequence(batch)
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        kinds = flat.field("kind")
+        is_text = pc.equal(kinds, "text").to_numpy(zero_copy_only=False)
+        # tokens per span: split text spans once, media spans count 0
+        tok_counts = pc.list_value_length(
+            pc.split_pattern(flat.field("text"), pattern=" ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_counts[~is_text] = 0
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(batch)), lengths)
+        # token offset of each span within its doc (exclusive cumsum,
+        # segmented by doc)
+        csum = np.cumsum(tok_counts)
+        doc_base = np.zeros(len(batch), dtype=np.int64)
+        ends = np.cumsum(lengths) - 1
+        doc_total = csum[ends] if len(flat) else np.zeros(0, np.int64)
+        doc_base[1:] = doc_total[:-1]
+        span_start = csum - tok_counts - doc_base[parent]
+        refs = flat.field("media_ref").to_pylist()
+
+        # per-doc media boundaries
+        media_sel = ~is_text
+        m_parent = parent[media_sel]
+        m_start = span_start[media_sel]
+        m_refs = [refs[i] for i in np.nonzero(media_sel)[0]]
+
+        tv = text_view_batch(batch).to_pandas()
+        tv_index = {d: i for i, d in enumerate(tv["doc_id"])}
+        mentions = MentionExtractor().mentions_df(tv)
+        if len(mentions) == 0 or len(m_parent) == 0:
+            return out_schema.empty_table()
+        mdoc = mentions["doc_id"].map(tv_index).to_numpy()
+        mpos = mentions["pos"].to_numpy()
+        out_ref = np.full(len(mentions), None, dtype=object)
+        for d in np.unique(mdoc):
+            bsel = m_parent == d
+            if not bsel.any():
+                continue
+            B, R = m_start[bsel], [m_refs[i] for i in np.nonzero(bsel)[0]]
+            msel = mdoc == d
+            idx = np.searchsorted(B, mpos[msel], side="right") - 1
+            vals = np.full(msel.sum(), None, dtype=object)
+            ok = idx >= 0
+            vals[ok] = np.asarray(R, dtype=object)[idx[ok]]
+            out_ref[msel] = vals
+        keep = np.asarray([r is not None for r in out_ref])
+        m = mentions[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(m["doc_id"].tolist(), pa.string()),
+                "pos": pa.array(m["pos"].to_numpy(), pa.int64()),
+                "surface": pa.array(m["surface"].tolist(), pa.string()),
+                "ent_type": pa.array(m["ent_type"].tolist(), pa.string()),
+                "media_ref": pa.array(
+                    [r for r, k in zip(out_ref, keep) if k], pa.string()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return inter_ds.map_batches(fn, batch_format="pyarrow")

@@ -179,3 +179,38 @@ def test_media_context_neighbors(ray_session):
     assert out["prev_kind"].tolist() == ["text", "text"]
     assert out["prev_text"].tolist() == ["e f g h", "p q r s t"]
     assert out["next_text"].tolist() == ["i j", ""]
+
+
+def test_ground_mentions_layout_driven(ray_session):
+    """Grounding follows the ACTUAL span layout (hand-built spans, not
+    the synthesis rule): mentions before the first media are dropped,
+    later mentions attach to the last preceding media_ref."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rex_ray.sources.interleaved import INTERLEAVED_SCHEMA
+    from rex_ray.stages.multimodal import ground_mentions
+
+    spans = [
+        {"kind": "text", "text": "spark alpha", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "media://x/1", "offset": 1},
+        {"kind": "text", "text": "beta join", "media_ref": "", "offset": 2},
+        {"kind": "audio", "text": "", "media_ref": "media://x/2", "offset": 3},
+        {"kind": "text", "text": "merge", "media_ref": "", "offset": 4},
+    ]
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": ["doc-x"], "spans": [spans]},
+            schema=INTERLEAVED_SCHEMA,
+        )
+    )
+    out = ground_mentions(ds).to_pandas().sort_values(
+        "pos", ignore_index=True
+    )
+    # tokens: spark(0) alpha(1) | media1 | beta(2) join(3) | media2 | merge(4)
+    # 'spark'@0 precedes all media -> dropped; 'join'@3 -> media1;
+    # 'merge'@4 -> media2
+    assert out[["surface", "pos", "media_ref"]].values.tolist() == [
+        ["join", 3, "media://x/1"],
+        ["merge", 4, "media://x/2"],
+    ]
