@@ -753,6 +753,117 @@ def lm_perplexity(docs_ds, min_count: int = 1):
     return docs_ds.map_batches(score, batch_format="pandas")
 
 
+def _dual_bigram_model_refs(docs_ds, target_mod: int, min_count: int = 1):
+    """Train the TARGET (doc_id %% target_mod == 0) and RAW (full
+    corpus) bigram LMs in the SAME two counting passes: each batch
+    emits (gram, n_total, n_target) partial rows, one groupby sums
+    both, and the broadcast builder splits the merged table into the
+    two sorted-hash models — halving the corpus passes vs fitting the
+    models independently (5 -> 3 passes for DSIR).  Returns
+    (t_big, t_uni, r_big, r_uni) ObjectRefs with the same shapes as
+    :func:`_bigram_model_refs` produces."""
+    from ray.data.aggregate import Sum
+
+    from rex_ray.functions import hashing as H
+    from rex_ray.stages.dedup import _worker_built_ref
+
+    _BP = pa.schema(
+        [("g", pa.string()), ("n", pa.int64()), ("nt", pa.int64())]
+    )
+
+    def bigram_partial(batch: pd.DataFrame) -> pa.Table:
+        grams: list = []
+        tgt: list = []
+        ids = batch["doc_id"].to_numpy()
+        for i, t in enumerate(batch["text"]):
+            toks = t.split(" ")
+            k = len(toks) - 1
+            grams.extend(
+                toks[j] + " " + toks[j + 1] for j in range(k)
+            )
+            tgt.extend([int(ids[i]) % target_mod == 0] * max(k, 0))
+        if not grams:
+            return _BP.empty_table()
+        df = pd.DataFrame({"g": grams, "t": np.asarray(tgt)})
+        gr = df.groupby("g", sort=False)["t"].agg(["size", "sum"])
+        return arrow_block(
+            gr.rename(columns={"size": "n", "sum": "nt"})
+            .astype({"n": "int64", "nt": "int64"})
+            .reset_index(),
+            schema=_BP,
+        )
+
+    def uni_partial(batch: pd.DataFrame) -> pa.Table:
+        toks: list = []
+        tgt: list = []
+        ids = batch["doc_id"].to_numpy()
+        for i, t in enumerate(batch["text"]):
+            ts = t.split(" ")
+            toks.extend(ts)
+            tgt.extend([int(ids[i]) % target_mod == 0] * len(ts))
+        if not toks:
+            return _BP.empty_table()
+        df = pd.DataFrame({"g": toks, "t": np.asarray(tgt)})
+        gr = df.groupby("g", sort=False)["t"].agg(["size", "sum"])
+        return arrow_block(
+            gr.rename(columns={"size": "n", "sum": "nt"})
+            .astype({"n": "int64", "nt": "int64"})
+            .reset_index(),
+            schema=_BP,
+        )
+
+    def counts_of(partial_fn):
+        return (
+            pre_shuffle(
+                docs_ds.map_batches(partial_fn, batch_format="pandas")
+            )
+            .groupby("g")
+            .aggregate(Sum("n", alias_name="n"), Sum("nt", alias_name="nt"))
+        )
+
+    def build_pair(tables, with_v: bool):
+        gs: list = []
+        ns: list = []
+        nts: list = []
+        for t in tables:
+            if t.num_rows:
+                gs.extend(t["g"].to_pylist())
+                ns.append(t["n"].to_numpy(zero_copy_only=False))
+                nts.append(t["nt"].to_numpy(zero_copy_only=False))
+        if not gs:
+            z = (np.empty(0, np.uint64), np.empty(0, np.int64))
+            zz = z + (0,) if with_v else z
+            return (zz, zz)
+        hv = H.md5_hash64_batch(gs)
+        n = np.concatenate(ns).astype(np.int64)
+        nt = np.concatenate(nts).astype(np.int64)
+        if min_count > 1:
+            keep_r = n >= min_count
+        else:
+            keep_r = np.ones(len(n), dtype=bool)
+        o = np.argsort(hv)
+        hv, n, nt, keep_r = hv[o], n[o], nt[o], keep_r[o]
+        tm = nt > 0
+        if min_count > 1:
+            tm &= nt >= min_count
+        raw = (hv[keep_r], n[keep_r])
+        tgt = (hv[tm], nt[tm])
+        if with_v:
+            raw = raw + (len(hv),)
+            tgt = tgt + (int((nt > 0).sum()),)
+        return (tgt, raw)
+
+    big_pair_ref = _worker_built_ref(
+        counts_of(bigram_partial), lambda ts: build_pair(ts, with_v=False)
+    )
+    uni_pair_ref = _worker_built_ref(
+        counts_of(uni_partial), lambda ts: build_pair(ts, with_v=True)
+    )
+
+    return big_pair_ref, uni_pair_ref
+
+
+
 def dsir_weights(docs_ds, target_mod: int = 10, min_count: int = 1):
     """DSIR importance weights (Xie et al., NeurIPS 2023, "Data
     Selection for Language Models via Importance Resampling"): score
@@ -779,13 +890,9 @@ def dsir_weights(docs_ds, target_mod: int = 10, min_count: int = 1):
     from rex_ray.functions import hashing as H
     from rex_ray.stages.dedup import _side_object
 
-    def target_filter(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % target_mod == 0))
-
-    target_ds = docs_ds.map_batches(target_filter, batch_format="pyarrow")
-    t_big, t_uni = _bigram_model_refs(target_ds, min_count=min_count)
-    r_big, r_uni = _bigram_model_refs(docs_ds, min_count=min_count)
+    big_pair_ref, uni_pair_ref = _dual_bigram_model_refs(
+        docs_ds, target_mod=target_mod, min_count=min_count
+    )
 
     out_schema = pa.schema(
         [
@@ -796,8 +903,9 @@ def dsir_weights(docs_ds, target_mod: int = 10, min_count: int = 1):
     )
 
     def score(batch: pd.DataFrame) -> pa.Table:
-        tm = (_side_object(t_big), _side_object(t_uni))
-        rm = (_side_object(r_big), _side_object(r_uni))
+        t_big, r_big = _side_object(big_pair_ref)
+        t_uni, r_uni = _side_object(uni_pair_ref)
+        tm, rm = (t_big, t_uni), (r_big, r_uni)
         texts = list(batch["text"])
         ids = batch["doc_id"].to_numpy().astype(np.int64)
         grams, hist, counts = _batch_bigram_arrays(texts)
