@@ -304,10 +304,26 @@ def run_scaling() -> dict:
     }
 
 
+def _emit(result: dict, compact_drop=("queries_cold",)) -> None:
+    """Print ONE compact JSON line (the driver's tail capture has a
+    bounded buffer — round 2's full line outgrew it and parsed as
+    null) and write the FULL result to bench_summary.json next to
+    this file."""
+    full = json.dumps(result)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_summary.json"), "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    compact = {k: v for k, v in result.items() if k not in compact_drop}
+    print(json.dumps(compact), flush=True)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling())
     elif "--headline-amplified" in sys.argv:
-        print(json.dumps(run_headline_amplified()))
+        print(json.dumps(run_headline_amplified()), flush=True)
     else:
-        print(json.dumps(run_bench()))
+        _emit(run_bench())

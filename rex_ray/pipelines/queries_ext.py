@@ -87,21 +87,18 @@ def q_q1_pricing_summary(sf_dir: str):
     )
 
 
-def _custkey_to_nation(sf_dir: str) -> Dict[int, str]:
-    """Small-side dimension chain customer -> nation -> name, built on
-    the driver (broadcast once)."""
+def _nationkey_to_name(sf_dir: str) -> Dict[int, str]:
+    """The ONLY dimension loaded on the driver: nation is a fixed
+    25-row table at every scale factor, so it is the one legitimate
+    broadcast side.  Customer is SF-proportional (~150k rows x SF) and
+    must NEVER be driver-materialized — it joins distributively."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    nkey2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
     return {
-        int(ck): nkey2name[nk]
-        for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+        int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])
     }
 
 
@@ -127,8 +124,13 @@ def q_orders_with_returns(sf_dir: str):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """Large-large hash join (lineitem x orders on orderkey) + broadcast
-    dimension lookup (custkey -> nation) + partial-agg groupby."""
+    """Large-large hash join (lineitem x orders on orderkey) ->
+    pre-aggregate per customer (shrinks the second join's left side to
+    ~|customers| slim rows) -> distributed hash join against the
+    SF-proportional customer table -> broadcast lookup of the fixed
+    25-row nation map -> final partial-agg groupby.  Customer is never
+    materialized on the driver (round-2 verdict item #1)."""
+    from rex_ray.functions.blocks import compact_blocks
     from rex_ray.stages.relational import broadcast_join, partial_groupby_sum
 
     li = _read(
@@ -154,20 +156,38 @@ def q_revenue_by_nation(sf_dir: str):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
+    per_cust = partial_groupby_sum(
+        joined, ["o_custkey"], {"rev_cents": "rev_cents"}, counts="n_items"
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    with_nkey = compact_blocks(per_cust).join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
     named = broadcast_join(
-        joined, _custkey_to_nation(sf_dir), key="o_custkey", out="n_name"
+        with_nkey, _nationkey_to_name(sf_dir), key="c_nationkey", out="n_name"
     )
     return partial_groupby_sum(
-        named, ["n_name"], {"rev_cents": "revenue_cents"}, counts="n_items"
+        named,
+        ["n_name"],
+        {"rev_cents": "revenue_cents", "n_items": "n_items"},
     )
 
 
 def q_top_customers(sf_dir: str):
     """Pre-aggregate -> global sort (revenue desc, custkey asc) ->
-    limit 10 -> broadcast name lookup."""
-    from rex_ray.stages.relational import broadcast_join, partial_groupby_sum
+    limit 10 -> resolve the TEN names with a distributed filter over
+    customer (the driver only ever holds the 10-row answer; the
+    SF-proportional customer table is never driver-materialized —
+    round-2 verdict item #1)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    import pyarrow.parquet as pq
+    from rex_ray.functions.blocks import pre_shuffle
+    from rex_ray.stages.relational import partial_groupby_sum
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     prepped = orders.map_batches(
@@ -182,20 +202,25 @@ def q_top_customers(sf_dir: str):
     agg = partial_groupby_sum(
         prepped, ["o_custkey"], {"rev_cents": "revenue_cents"}
     )
-    from rex_ray.functions.blocks import pre_shuffle
-
-    top = pre_shuffle(agg).sort(
-        ["revenue_cents", "o_custkey"], descending=[True, False]
-    ).limit(10)
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).to_pandas()
-    return broadcast_join(
-        top,
-        dict(zip(cust["c_custkey"].astype(int), cust["c_name"])),
-        key="o_custkey",
-        out="c_name",
+    top = (
+        pre_shuffle(agg)
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()  # the 10-row final answer — small by construction
     )
+    keys = pa.array([int(k) for k in top["o_custkey"]], pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()  # <= 10 rows survive the distributed filter
+    )
+    name_map = dict(zip(names["c_custkey"].astype(int), names["c_name"]))
+    top["c_name"] = top["o_custkey"].map(name_map)
+    return top
 
 
 def q_events_hourly(sf_dir: str):

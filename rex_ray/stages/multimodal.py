@@ -256,7 +256,13 @@ def ground_mentions(inter_ds):
         csum = np.cumsum(tok_counts)
         doc_base = np.zeros(len(batch), dtype=np.int64)
         ends = np.cumsum(lengths) - 1
-        doc_total = csum[ends] if len(flat) else np.zeros(0, np.int64)
+        # guarded gather: a zero-span doc at the head of the batch has
+        # ends == -1, and csum[-1] would alias the batch's LAST span —
+        # its cumulative total is simply 0.
+        if len(flat):
+            doc_total = np.where(ends >= 0, csum[np.maximum(ends, 0)], 0)
+        else:
+            doc_total = np.zeros(len(batch), dtype=np.int64)
         doc_base[1:] = doc_total[:-1]
         span_start = csum - tok_counts - doc_base[parent]
         refs = flat.field("media_ref").to_pylist()

@@ -821,7 +821,10 @@ def _dual_bigram_model_refs(docs_ds, target_mod: int, min_count: int = 1):
             .aggregate(Sum("n", alias_name="n"), Sum("nt", alias_name="nt"))
         )
 
-    def build_pair(tables, with_v: bool):
+    def build_pair(tables, with_v: bool, prune: bool):
+        # ``prune`` follows _bigram_model_refs semantics: min_count
+        # trims the BIGRAM tables only — both unigram (history) count
+        # arrays stay unpruned, and V is the unpruned vocab size.
         gs: list = []
         ns: list = []
         nts: list = []
@@ -837,14 +840,14 @@ def _dual_bigram_model_refs(docs_ds, target_mod: int, min_count: int = 1):
         hv = H.md5_hash64_batch(gs)
         n = np.concatenate(ns).astype(np.int64)
         nt = np.concatenate(nts).astype(np.int64)
-        if min_count > 1:
+        if prune and min_count > 1:
             keep_r = n >= min_count
         else:
             keep_r = np.ones(len(n), dtype=bool)
         o = np.argsort(hv)
         hv, n, nt, keep_r = hv[o], n[o], nt[o], keep_r[o]
         tm = nt > 0
-        if min_count > 1:
+        if prune and min_count > 1:
             tm &= nt >= min_count
         raw = (hv[keep_r], n[keep_r])
         tgt = (hv[tm], nt[tm])
@@ -854,10 +857,12 @@ def _dual_bigram_model_refs(docs_ds, target_mod: int, min_count: int = 1):
         return (tgt, raw)
 
     big_pair_ref = _worker_built_ref(
-        counts_of(bigram_partial), lambda ts: build_pair(ts, with_v=False)
+        counts_of(bigram_partial),
+        lambda ts: build_pair(ts, with_v=False, prune=True),
     )
     uni_pair_ref = _worker_built_ref(
-        counts_of(uni_partial), lambda ts: build_pair(ts, with_v=True)
+        counts_of(uni_partial),
+        lambda ts: build_pair(ts, with_v=True, prune=False),
     )
 
     return big_pair_ref, uni_pair_ref
@@ -1058,10 +1063,12 @@ def chunk_documents(docs_ds, chunk_tokens: int = 64, overlap: int = 16):
     pure function of position and re-runs/shards are stable).
 
     Pure map-side flat-map (one streaming pass, no shuffle): output
-    rows = ceil(max(n_tokens − overlap, 1) / stride) per doc.  The
-    final short window is kept iff it starts inside the document
-    (standard stride semantics).  Output: (doc_id, chunk_id,
-    start_tok 1-based, n_tokens, chunk_text).
+    rows = ceil(n_tokens / stride) per doc — one window per stride
+    start position inside the document, so a trailing window that is
+    fully contained in its predecessor is still emitted (e.g. 64
+    tokens with chunk_tokens=64, overlap=16 → 2 chunks).  The SQL
+    oracle implements the identical formula.  Output: (doc_id,
+    chunk_id, start_tok 1-based, n_tokens, chunk_text).
     """
     stride = chunk_tokens - overlap
     if stride <= 0:

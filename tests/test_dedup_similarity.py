@@ -677,6 +677,47 @@ def test_dsir_weights_hand_computed(ray_session):
     assert out["weight_micronats"].tolist() == [510826, 105361]
 
 
+def test_dsir_dual_fit_matches_independent_fits_min_count(ray_session):
+    """The fused dual-model fit must produce byte-identical model
+    arrays to two independent _bigram_model_refs fits at min_count>1
+    (regression: the dual fit used to prune the raw UNIGRAM table too,
+    and counted target V from unpruned rows while pruning the target
+    tables — ADVICE r2)."""
+    import numpy as np
+    import ray
+
+    from rex_ray.stages.textstats import (
+        _bigram_model_refs,
+        _dual_bigram_model_refs,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b a x"},   # target (0 % 3 == 0)
+        {"doc_id": 1, "text": "b a b a y"},
+        {"doc_id": 2, "text": "x y x y x y a"},
+        {"doc_id": 3, "text": "a b q"},          # target
+    ]
+    docs = ray.data.from_items(rows)
+    target = ray.data.from_items([r for r in rows if r["doc_id"] % 3 == 0])
+
+    big_pair, uni_pair = _dual_bigram_model_refs(docs, 3, min_count=2)
+    (t_big, r_big), (t_uni, r_uni) = ray.get(big_pair), ray.get(uni_pair)
+
+    tb_ref, tu_ref = _bigram_model_refs(target, min_count=2)
+    rb_ref, ru_ref = _bigram_model_refs(docs, min_count=2)
+    tb, tu = ray.get(tb_ref), ray.get(tu_ref)
+    rb, ru = ray.get(rb_ref), ray.get(ru_ref)
+
+    for got, want in [(t_big, tb), (r_big, rb)]:
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    # unigram arrays are NEVER pruned, V = unpruned vocab size
+    for got, want in [(t_uni, tu), (r_uni, ru)]:
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        assert got[2] == want[2]
+
+
 def test_ppl_tiers_thirds_and_value_ties(ray_session):
     """Tier cuts are the exact 1/3 and 2/3 order statistics; ties on
     the cut value all land in the lower tier; tier sizes ~ n/3."""

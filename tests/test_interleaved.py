@@ -214,3 +214,36 @@ def test_ground_mentions_layout_driven(ray_session):
         ["join", 3, "media://x/1"],
         ["merge", 4, "media://x/2"],
     ]
+
+
+def test_ground_mentions_zero_span_first_doc(ray_session):
+    """A zero-span doc at the HEAD of a batch must not shift later
+    docs' token offsets (regression: the unguarded csum[-1] gather made
+    doc_total[0] the whole batch's token count, corrupting span_start
+    for every later doc — ADVICE r2)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rex_ray.sources.interleaved import INTERLEAVED_SCHEMA
+    from rex_ray.stages.multimodal import ground_mentions
+
+    spans = [
+        {"kind": "text", "text": "spark alpha", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "media://x/1", "offset": 1},
+        {"kind": "text", "text": "beta join", "media_ref": "", "offset": 2},
+        {"kind": "audio", "text": "", "media_ref": "media://x/2", "offset": 3},
+        {"kind": "text", "text": "merge", "media_ref": "", "offset": 4},
+    ]
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": ["doc-empty", "doc-x"], "spans": [[], spans]},
+            schema=INTERLEAVED_SCHEMA,
+        )
+    )
+    out = ground_mentions(ds).to_pandas().sort_values(
+        "pos", ignore_index=True
+    )
+    assert out[["doc_id", "surface", "pos", "media_ref"]].values.tolist() == [
+        ["doc-x", "join", 3, "media://x/1"],
+        ["doc-x", "merge", 4, "media://x/2"],
+    ]
