@@ -181,6 +181,51 @@ def link_triples(triples_ds, canonical: Dict[str, str],
     return triples_ds.map_batches(fn, batch_format="pandas", **kwargs)
 
 
+def link_triples_via_join(triples_ds, map_ds, nil_prefix: str = "nil:",
+                          num_partitions: int = None):
+    """Distributed-join twin of :func:`link_triples` for canonical maps
+    too large to broadcast: ``map_ds`` is a (node, canonical) Dataset
+    (e.g. :func:`canonical.canonical_labels_ds` output, canonical ids
+    already prefixed), joined twice (subj side, obj side) with
+    left_outer semantics; unmatched surfaces get ``nil:<surface>`` —
+    byte-identical output to the broadcast linker (equality-asserted
+    in tests).  Two hash-shuffle joins sized to the data volume; at
+    10^12 docs this replaces an impossible multi-GB ``ray.put``."""
+    import pyarrow as pa
+
+    from rex_ray.functions.blocks import arrow_block, compact_blocks
+    from rex_ray.stages.relational import default_join_partitions
+
+    nparts = num_partitions or default_join_partitions()
+
+    def renamed(side: str, id_col: str):
+        return map_ds.map_batches(
+            lambda b, s=side, i=id_col: arrow_block(
+                pd.DataFrame({s: b["node"], i: b["canonical"]})
+            ),
+            batch_format="pandas",
+        )
+
+    def fill_nil(col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            v = b[col]
+            key = "subj" if col == "subj_id" else "obj"
+            b[col] = v.where(v.notna(), nil_prefix + b[key].astype(str))
+            return b
+
+        return fn
+
+    out = compact_blocks(triples_ds).join(
+        compact_blocks(renamed("subj", "subj_id")),
+        join_type="left_outer", on=("subj",), num_partitions=nparts,
+    ).map_batches(fill_nil("subj_id"), batch_format="pandas")
+    out = compact_blocks(out).join(
+        compact_blocks(renamed("obj", "obj_id")),
+        join_type="left_outer", on=("obj",), num_partitions=nparts,
+    ).map_batches(fill_nil("obj_id"), batch_format="pandas")
+    return out
+
+
 def ambiguous_mentions_with_context(docs_ds, radius: int = 2):
     """(doc_id, text) -> one row per AMBIG_ALIASES-surface mention with
     its +-radius window tokens as columns w-2..w+2 (None beyond the doc
