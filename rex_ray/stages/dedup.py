@@ -162,15 +162,10 @@ def _side_object(ref):
     return obj
 
 
-def _hot_bucket_rows(bands_ds, key_col: str):
-    """Band rows whose bucket holds >= 2 rows — the only ones that can
-    emit a candidate pair.  Vectorized Arrow partial count + one tiny
-    aggregate; the hot-key set is then built INSIDE a worker
-    (``_worker_built_ref``) and applied as a broadcast map-side filter
-    — no driver rows, and none of ``Dataset.join``'s actor-pool
-    spin-up (measured ~30 s of fixed overhead per join at sf0.1).
-    Scale assumption: the hot-key set (O(duplicate clusters)) fits one
-    worker's heap; beyond that, swap the filter for a hash join."""
+def _hot_key_ds(bands_ds, key_col: str):
+    """Dataset of bucket keys holding >= 2 rows — the only buckets that
+    can emit a candidate pair.  Vectorized Arrow partial count + one
+    tiny aggregate; the shuffle carries one row per (key, batch)."""
     from ray.data.aggregate import Sum
 
     partial = bands_ds.map_batches(
@@ -183,7 +178,16 @@ def _hot_bucket_rows(bands_ds, key_col: str):
     counts = pre_shuffle(partial).groupby(key_col).aggregate(
         Sum("n", alias_name="n")
     )
-    hot_keys = counts.filter(expr="n >= 2").drop_columns(["n"])
+    return counts.filter(expr="n >= 2").drop_columns(["n"])
+
+
+def _broadcast_hot_filter(bands_ds, hot_keys, key_col: str):
+    """Map-side filter of ``bands_ds`` to the ``hot_keys`` key set,
+    built INSIDE a worker (``_worker_built_ref``) — no driver rows, and
+    none of ``Dataset.join``'s actor-pool spin-up (measured ~30 s of
+    fixed overhead per join at sf0.1).  Small-side assumption: the
+    hot-key set (O(duplicate clusters)) fits one worker's heap — the
+    caller must route to :func:`_join_hot_filter` beyond that."""
     key_ref = _worker_built_ref(
         hot_keys,
         lambda tables: set().union(
@@ -208,7 +212,32 @@ def _hot_bucket_rows(bands_ds, key_col: str):
     return bands_ds.map_batches(keep_hot, batch_format="pyarrow")
 
 
-def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
+def _join_hot_filter(bands_ds, hot_keys, key_col: str):
+    """Degradation path of :func:`_broadcast_hot_filter`: semi-join via
+    an exact hash join when the hot-key set is too large to broadcast
+    (dup-heavy crawls where 30-60%% of the corpus is duplicated and the
+    hot-key set IS the corpus).  The shuffle carries the slim 16-byte
+    band rows — bounded per-partition memory, no single-worker set."""
+    from rex_ray.functions.blocks import compact_blocks
+    from rex_ray.stages.relational import default_join_partitions
+
+    return compact_blocks(bands_ds).join(
+        compact_blocks(hot_keys),
+        join_type="inner",
+        on=(key_col,),
+        num_partitions=default_join_partitions(),
+    )
+
+
+def _hot_bucket_rows(bands_ds, key_col: str):
+    """Band rows in buckets holding >= 2 rows (broadcast-filter path;
+    see :func:`_broadcast_hot_filter` for the small-side contract)."""
+    return _broadcast_hot_filter(bands_ds, _hot_key_ds(bands_ds, key_col),
+                                 key_col)
+
+
+def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3,
+                      max_broadcast_keys: int = None):
     """LSH candidate generation + exact-Jaccard verification.
 
     Dataflow (every exchange carries bounded rows):
@@ -224,8 +253,11 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
          minimal shared bucket (both docs' band-key sets ride the
          broadcast dict), so no global pair shuffle is needed.
     Returns (doc_a, doc_b) with doc_a < doc_b.  Small-side assumption
-    (documented in :func:`_hot_bucket_rows`): hot keys / hot-doc
-    sketches are O(duplicate clusters) and fit one worker's heap.
+    (documented in :func:`_broadcast_hot_filter`): hot keys / hot-doc
+    sketches are O(duplicate clusters) and fit one worker's heap —
+    beyond ``max_broadcast_keys`` hot keys the verify tail degrades
+    automatically to the sketch-through-shuffle join regime
+    (:func:`_sketch_join_pairs`), same answer, no broadcast object.
     """
     # ONE fused pass over the text emits both outputs as a tagged
     # union (band rows kind='b' with null sh; sketch rows kind='s'
@@ -277,24 +309,46 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3):
     return _bucketed_jaccard_pairs(
         tagged, key_col="band_key", keyset_col="bands",
         slim_kind="b", threshold=threshold,
+        max_broadcast_keys=(
+            MAX_BROADCAST_HOT_KEYS
+            if max_broadcast_keys is None else max_broadcast_keys
+        ),
     )
 
 
+# Hot-key cardinality bound for the broadcast verify path: ~2M int64
+# keys ≈ tens of MB of worker-resident set/dict state.  Below it the
+# worker-built broadcast dict wins (no join-operator spin-up); above it
+# — a dup-heavy crawl where 30-60% of the corpus duplicates and the
+# hot set IS the corpus — the verify tail degrades to shipping
+# sketches through the bucket shuffle (bounded per-partition memory,
+# no single-worker set).  Round-2 verdict item #2.
+MAX_BROADCAST_HOT_KEYS = 2_000_000
+
+
 def _bucketed_jaccard_pairs(
-    tagged, key_col: str, keyset_col: str, slim_kind: str, threshold: float
+    tagged, key_col: str, keyset_col: str, slim_kind: str, threshold: float,
+    max_broadcast_keys: int = MAX_BROADCAST_HOT_KEYS,
 ):
     """Shared verify tail of the MinHash-LSH and prefix-filter paths:
 
     1. hot buckets over the slim (key_col, doc_id) rows (partial
-       counts + worker-built broadcast key-set filter);
-    2. hot-DOC sketch lookup built worker-side from the sketch rows
-       filtered to hot docs only (O(duplicate clusters) entries — the
-       same small-side assumption as the hot-key set; a hash join is
-       the fallback beyond that);
-    3. in-bucket exact-Jaccard verify; pair dedup is MAP-SIDE — each
-       pair is emitted only from its minimal shared bucket (both
-       docs' key sets ride the broadcast dict), so no global pair
-       shuffle is needed.
+       counts; the hot-key Dataset is materialized once and counted —
+       the count picks the regime);
+    2. BROADCAST regime (hot keys <= ``max_broadcast_keys``): hot rows
+       via a worker-built key-set filter, hot-DOC sketch lookup built
+       worker-side (O(duplicate clusters) entries), in-bucket exact
+       Jaccard against the broadcast dict;
+    3. JOIN regime (dup-heavy corpus, hot keys above the bound): hot
+       rows via an exact hash join, sketches attached to the bucket
+       rows by a second hash join on doc_id, and the verify runs on
+       in-group columns only — no broadcast object of corpus-
+       proportional size anywhere (:func:`_sketch_join_pairs`).
+
+    Pair dedup is MAP-SIDE in both regimes — each pair is emitted only
+    from its minimal shared bucket (both docs' key sets are available
+    at verify time), so no global pair shuffle is needed.  The two
+    regimes are equality-asserted in tests on a 50%-duplicate corpus.
     """
     import pyarrow.compute as pc
 
@@ -305,7 +359,14 @@ def _bucketed_jaccard_pairs(
         [key_col, "doc_id"]
     )
 
-    hot = pre_shuffle(_hot_bucket_rows(slim, key_col))
+    hot_keys = _hot_key_ds(slim, key_col).materialize()
+    if hot_keys.count() > max_broadcast_keys:
+        return _sketch_join_pairs(
+            _join_hot_filter(slim, hot_keys, key_col),
+            sketches, key_col, keyset_col, threshold,
+        )
+
+    hot = pre_shuffle(_broadcast_hot_filter(slim, hot_keys, key_col))
 
     doc_ref = _worker_built_ref(
         hot,
@@ -368,6 +429,65 @@ def _bucketed_jaccard_pairs(
     )
 
 
+def _sketch_join_pairs(hot, sketches, key_col: str, keyset_col: str,
+                       threshold: float):
+    """JOIN-regime verify tail: each hot bucket row picks up its doc's
+    sketch (sh + full key set) through an exact hash join on doc_id,
+    so the per-bucket verify reads ONLY in-group columns.  The shuffle
+    grows to O(hot rows x sketch size) — the price of dropping every
+    corpus-proportional broadcast object; per-partition memory stays
+    bounded by the partition, not the corpus."""
+    from rex_ray.functions.blocks import compact_blocks
+    from rex_ray.stages.relational import default_join_partitions
+
+    # Arrow's hash join rejects list-typed payload columns — ship the
+    # key set as one delimited string (parsed once per group).
+    def pack_keysets(t: pa.Table) -> pa.Table:
+        kls = t[keyset_col].to_pylist()
+        packed = pa.array(
+            [",".join(str(int(x)) for x in kl) for kl in kls], pa.string()
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "sh": t["sh"], "_ks": packed}
+        )
+
+    flat_sketches = sketches.map_batches(pack_keysets, batch_format="pyarrow")
+    joined = compact_blocks(hot).join(
+        compact_blocks(flat_sketches),
+        join_type="inner",
+        on=("doc_id",),
+        num_partitions=default_join_partitions(),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        if len(g) > 1:
+            this_key = int(g[key_col].iloc[0])
+            g = g.drop_duplicates("doc_id")
+            ids = sorted(int(d) for d in g["doc_id"])
+            sh = dict(zip((int(d) for d in g["doc_id"]), g["sh"]))
+            ks = {
+                int(d): frozenset(int(x) for x in kl.split(","))
+                for d, kl in zip(g["doc_id"], g["_ks"])
+            }
+            shingles = {d: set(sh[d].split(SHINGLE_SEP)) for d in ids}
+            for da, db in combinations(ids, 2):
+                # map-side pair dedup: only the minimal shared bucket
+                # key emits the pair (same rule as the broadcast tail)
+                if min(ks[da] & ks[db]) != this_key:
+                    continue
+                if H.jaccard(shingles[da], shingles[db]) >= threshold:
+                    rows.append((da, db))
+        return arrow_block(
+            pd.DataFrame(rows, columns=["doc_a", "doc_b"]),
+            schema=_PAIR_SCHEMA,
+        )
+
+    return joined.groupby(key_col).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (prefix filtering)
 # ---------------------------------------------------------------------------
@@ -385,7 +505,8 @@ def _prefix_len(n: int, threshold: float) -> int:
     return max(1, min(n, n - alpha + 1))
 
 
-def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 3):
+def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 3,
+                            max_broadcast_keys: int = None):
     """EXACT n-gram Jaccard near-dup via prefix filtering (the
     SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
     WWW'08): emits EVERY pair with Jaccard(shingles_a, shingles_b) >=
@@ -443,6 +564,10 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 3):
     return _bucketed_jaccard_pairs(
         tagged, key_col="bucket_key", keyset_col="pref",
         slim_kind="p", threshold=threshold,
+        max_broadcast_keys=(
+            MAX_BROADCAST_HOT_KEYS
+            if max_broadcast_keys is None else max_broadcast_keys
+        ),
     )
 
 

@@ -52,6 +52,62 @@ def test_minhash_pairs_match_planted_dups(docs_ds):
     assert got == expected
 
 
+def test_minhash_join_regime_matches_broadcast_on_dup_heavy(ray_session):
+    """The degradation path (hot keys above the broadcast bound ->
+    sketches ship through the bucket shuffle) must produce the IDENTICAL
+    pair set on a planted 50%-duplicate corpus (round-2 verdict #2).
+    max_broadcast_keys=0 forces the join regime; the default exercises
+    the broadcast regime on the same input."""
+    import ray.data as rd
+
+    from rex_ray.stages.dedup import minhash_dup_pairs
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(50)]
+    base = [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(40)
+    ]
+    # 50% duplicates: every base doc gets one exact dup (ids offset)
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows += [
+        {"doc_id": 1000 + i, "text": t} for i, t in enumerate(base)
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    def pairs(max_keys):
+        df = minhash_dup_pairs(
+            docs, max_broadcast_keys=max_keys
+        ).to_pandas()
+        return set(zip(df["doc_a"], df["doc_b"]))
+
+    broadcast, joined = pairs(10**9), pairs(0)
+    assert broadcast == joined
+    # every planted dup pair found (Jaccard 1.0 >= 0.9)
+    assert {(i, 1000 + i) for i in range(40)} <= joined
+
+
+def test_ngram_jaccard_join_regime_matches_broadcast(ray_session):
+    """Same two-regime equality for the prefix-filter path."""
+    import ray.data as rd
+
+    from rex_ray.stages.dedup import ngram_jaccard_dup_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(40)]
+    base = [" ".join(rng.choice(vocab, size=25)) for _ in range(20)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows += [{"doc_id": 500 + i, "text": t} for i, t in enumerate(base)]
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    def pairs(max_keys):
+        df = ngram_jaccard_dup_pairs(
+            docs, threshold=0.8, max_broadcast_keys=max_keys
+        ).to_pandas()
+        return set(zip(df["doc_a"], df["doc_b"]))
+
+    assert pairs(10**9) == pairs(0)
+
+
 def test_simhash_identical_for_planted_dups(docs_ds):
     from rex_ray.functions import text as T
     from rex_ray.stages.dedup import simhash_table
