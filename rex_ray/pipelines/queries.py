@@ -791,6 +791,17 @@ def q_kg_globalpointer_scored(sf_dir: str):
     return gpointer.score_globalpointer(_docs(sf_dir))
 
 
+def q_kg_globalpointer_rule(sf_dir: str):
+    """The SAME GlobalPointer forward (embedding lookup, linear heads,
+    RoPE rotation, biaffine einsum, pad+tril masking, threshold decode)
+    under the integer-exact spec.GP_RULE parameterization — upgrades
+    the biaffine+RoPE matrix itself from rows-only to oracle-checked;
+    kg_globalpointer_scored keeps the seeded float forward."""
+    from rex_ray.stages import gpointer
+
+    return gpointer.score_globalpointer_rule(_docs(sf_dir))
+
+
 def q_kg_disambiguated_mentions(sf_dir: str):
     """Ambiguous-surface mentions resolved by embedding-cosine context
     similarity (broadcast candidate matrix, one matmul per batch).
@@ -1065,6 +1076,8 @@ QUALIFY row_number() OVER (
     PARTITION BY n.pair_key ORDER BY n.num / w.wsum DESC, n.pred ASC
 ) = 1
 """
+
+_SQL["kg_globalpointer_rule"] = spec.sql_gp_rule()
 
 _SQL["kg_usm_relations"] = f"""
 WITH {_kg_ctes()},
@@ -1630,6 +1643,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_usm_relations": q_kg_usm_relations,
     "kg_disambiguated_mentions": q_kg_disambiguated_mentions,
     "kg_globalpointer_scored": q_kg_globalpointer_scored,
+    "kg_globalpointer_rule": q_kg_globalpointer_rule,
     "kg_ner_type_prf": q_kg_ner_type_prf,
     "kg_mrc_entities": q_kg_mrc_entities,
     "kg_mrc_doc_counts": q_kg_mrc_doc_counts,

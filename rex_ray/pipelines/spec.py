@@ -130,6 +130,44 @@ def media_kind(doc_id: int, m: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# GlobalPointer integer-rule twin (query kg_globalpointer_rule): the REAL
+# biaffine + RoPE + tril forward of stages/gpointer.py with an
+# integer-exact parameterization, so the full logit MATRIX (not just its
+# decode) is DuckDB-checkable.  Contract:
+#   * emb(token)[k] = (md5(token) hex byte k) % GP_RULE_EMB_MOD - 4
+#     — a pure function of the token string, recomputable in SQL;
+#   * Wh/bh/Wt/bt/U are the small-integer literals below;
+#   * RoPE uses EXACT Pythagorean rotations: position p rotates by the
+#     (cos, sin)*5^r pair GP_RULE_ROT[p % 4] (3-4-5 triple powers), the
+#     same concat-halves recipe as the float path — integer-exact, and
+#     the per-position positive scale 5^r never flips the sign that the
+#     `logit > 0` decode thresholds;
+#   * no final /sqrt(biaffine_size) (a positive scalar — decode-
+#     invariant), so every surviving logit is an exact int64.
+# All values stay < 2^53, so the numpy float64 forward is exact.
+# ---------------------------------------------------------------------------
+
+GP_RULE_DIM = 2
+GP_RULE_MAX_LEN = 16
+GP_RULE_EMB_MOD = 9
+GP_RULE_WH = [[2, -1], [1, 3]]
+GP_RULE_BH = [1, -2]
+GP_RULE_WT = [[-2, 1], [3, 2]]
+GP_RULE_BT = [0, 1]
+# ent_type -> 3x3 biaffine U (bias_x = bias_y = True), keys = the
+# sorted GAZETTEER entity types
+GP_RULE_U: Dict[str, List[List[int]]] = {
+    "ACTOR": [[1, -2, 0], [2, 1, -1], [0, 1, 1]],
+    "ALGO": [[-1, 1, 2], [1, 0, -2], [2, -1, 0]],
+    "OBJ": [[2, 0, -1], [-1, 2, 1], [1, 1, -2]],
+    "OP": [[0, 2, 1], [-2, -1, 1], [1, 0, 2]],
+    "SYS": [[1, 1, -1], [0, -2, 2], [-1, 2, 0]],
+}
+# (cos, sin) * 5^r for r = pos % 4: exact integer rotations
+GP_RULE_ROT: List[Tuple[int, int]] = [(1, 0), (3, 4), (-7, 24), (-117, 44)]
+
+
+# ---------------------------------------------------------------------------
 # SQL fragment renderers (DuckDB dialect) — used by the oracle queries.
 # ---------------------------------------------------------------------------
 
@@ -181,3 +219,70 @@ SQL_MENTIONS = f"""
 
 def sql_mentions() -> str:
     return SQL_MENTIONS.format(gaz=sql_gazetteer_values())
+
+
+def sql_gp_rule() -> str:
+    """Full oracle for kg_globalpointer_rule: tokens -> md5-rule
+    embeddings -> linear heads -> integer RoPE -> per-class biaffine
+    logits -> `logit > 0` span rows.  Rendered from the SAME literals
+    the Ray stage consumes, so the two cannot drift."""
+    (wh00, wh01), (wh10, wh11) = GP_RULE_WH
+    (wt00, wt01), (wt10, wt11) = GP_RULE_WT
+    bh0, bh1 = GP_RULE_BH
+    bt0, bt1 = GP_RULE_BT
+    m = GP_RULE_EMB_MOD
+    c_case = " ".join(
+        f"WHEN {r} THEN {c}" for r, (c, _) in enumerate(GP_RULE_ROT)
+    )
+    s_case = " ".join(
+        f"WHEN {r} THEN {s}" for r, (_, s) in enumerate(GP_RULE_ROT)
+    )
+    logit_rows = ",\n          ".join(
+        "('{et}', rh0*({u00})*rt0 + rh0*({u01})*rt1 + rh0*({u02})"
+        " + rh1*({u10})*rt0 + rh1*({u11})*rt1 + rh1*({u12})"
+        " + ({u20})*rt0 + ({u21})*rt1 + ({u22}))".format(
+            et=et,
+            u00=U[0][0], u01=U[0][1], u02=U[0][2],
+            u10=U[1][0], u11=U[1][1], u12=U[1][2],
+            u20=U[2][0], u21=U[2][1], u22=U[2][2],
+        )
+        for et, U in sorted(GP_RULE_U.items())
+    )
+    return f"""
+WITH toks AS ({SQL_TOKENS}),
+feat AS (
+    SELECT doc_id, pos,
+           (('0x' || substr(md5(tok), 1, 2))::BIGINT % {m} - 4) AS e0,
+           (('0x' || substr(md5(tok), 3, 2))::BIGINT % {m} - 4) AS e1
+    FROM toks WHERE pos < {GP_RULE_MAX_LEN}
+),
+heads AS (
+    SELECT doc_id, pos,
+           e0*({wh00}) + e1*({wh10}) + ({bh0}) AS h0,
+           e0*({wh01}) + e1*({wh11}) + ({bh1}) AS h1,
+           e0*({wt00}) + e1*({wt10}) + ({bt0}) AS t0,
+           e0*({wt01}) + e1*({wt11}) + ({bt1}) AS t1,
+           CASE pos % {len(GP_RULE_ROT)} {c_case} END AS c,
+           CASE pos % {len(GP_RULE_ROT)} {s_case} END AS s
+    FROM feat
+),
+rot AS (
+    SELECT doc_id, pos,
+           h0*c - h1*s AS rh0, h1*c + h0*s AS rh1,
+           t0*c - t1*s AS rt0, t1*c + t0*s AS rt1
+    FROM heads
+),
+pairs AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j,
+           a.rh0, a.rh1, b.rt0, b.rt1
+    FROM rot a JOIN rot b ON a.doc_id = b.doc_id AND a.pos <= b.pos
+)
+SELECT doc_id, ent_type,
+       CAST(i AS BIGINT) AS start_pos,
+       CAST(j + 1 AS BIGINT) AS end_pos,
+       CAST(logit AS DOUBLE) AS score
+FROM pairs,
+     LATERAL (VALUES
+          {logit_rows}) AS l(ent_type, logit)
+WHERE logit > 0
+"""

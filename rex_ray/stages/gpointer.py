@@ -86,6 +86,53 @@ def rope_rotate(qw: np.ndarray, kw: np.ndarray):
     return qw * cos_pos + qw2 * sin_pos, kw * cos_pos + kw2 * sin_pos
 
 
+def rope_rotate_int(qw: np.ndarray, kw: np.ndarray):
+    """Integer-exact RoPE twin: the SAME concat-halves recipe as
+    :func:`rope_rotate`, but position p rotates by the exact
+    Pythagorean pair (cos, sin)*5^(p%4) of ``spec.GP_RULE_ROT``
+    instead of sin/cos — every output stays an exact integer, and the
+    positive per-position scale 5^r cannot flip the sign the decode
+    thresholds on.  All pairs share the rotation (the rule's
+    documented simplification of the per-pair frequency ladder)."""
+    _, L, d = qw.shape
+    rot = np.asarray(spec.GP_RULE_ROT, dtype=np.float64)
+    r = np.arange(L) % len(rot)
+    cos_pos = np.repeat(rot[r, 0][:, None], d, axis=-1)[None, :, :]
+    sin_pos = np.repeat(rot[r, 1][:, None], d, axis=-1)[None, :, :]
+    qw2 = np.concatenate([-qw[..., 1::2], qw[..., 0::2]], axis=-1)
+    kw2 = np.concatenate([-kw[..., 1::2], kw[..., 0::2]], axis=-1)
+    return qw * cos_pos + qw2 * sin_pos, kw * cos_pos + kw2 * sin_pos
+
+
+class GlobalPointerRuleWeights:
+    """Integer-exact parameter set from the ``spec.GP_RULE_*`` literals
+    (the kg_bag_*_rule pattern lifted to the biaffine forward): token
+    embeddings are a pure md5 function of the token STRING, so the
+    DuckDB oracle recomputes the entire logit matrix from the text
+    (``spec.sql_gp_rule``)."""
+
+    def __init__(self, vocab: Vocab):
+        import hashlib
+
+        m = spec.GP_RULE_EMB_MOD
+        emb = np.empty((len(vocab), spec.GP_RULE_DIM), dtype=np.float64)
+        for i, tok in enumerate(vocab.id2token):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for k in range(spec.GP_RULE_DIM):
+                emb[i, k] = int(h[2 * k: 2 * k + 2], 16) % m - 4
+        self.emb = emb
+        self.Wh = np.asarray(spec.GP_RULE_WH, dtype=np.float64)
+        self.bh = np.asarray(spec.GP_RULE_BH, dtype=np.float64)
+        self.Wt = np.asarray(spec.GP_RULE_WT, dtype=np.float64)
+        self.bt = np.asarray(spec.GP_RULE_BT, dtype=np.float64)
+        self.U = np.asarray(
+            [spec.GP_RULE_U[t] for t in sorted(spec.GP_RULE_U)],
+            dtype=np.float64,
+        )
+        self.biaffine_size = spec.GP_RULE_DIM
+        self.cls_num = len(spec.GP_RULE_U)
+
+
 class GlobalPointerScorer:
     """(doc_id, text) batches -> thresholded span rows with biaffine
     scores: (doc_id, ent_type, start_pos, end_pos, score).
@@ -95,7 +142,8 @@ class GlobalPointerScorer:
 
     def __init__(self, vocab_ref, weights_ref, use_rope: bool = True,
                  tri_mask: str = "tril", max_seq_len: int = MAX_SEQ_LEN,
-                 threshold: float = 0.03):
+                 threshold: float = 0.03, rope: str = "sin",
+                 scale: bool = True):
         self.vocab: Vocab = (
             ray.get(vocab_ref)
             if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
@@ -105,7 +153,10 @@ class GlobalPointerScorer:
             if isinstance(weights_ref, ray.ObjectRef) else weights_ref
         )
         assert tri_mask in ("tril", "triu", "none")
+        assert rope in ("sin", "int")
         self.use_rope = use_rope
+        self.rope = rope
+        self.scale = scale
         self.tri_mask = tri_mask
         self.max_seq_len = max_seq_len
         # the reference decodes logits > 0 on a TRAINED, calibrated
@@ -121,7 +172,11 @@ class GlobalPointerScorer:
         h = x @ w.Wh + w.bh
         t = x @ w.Wt + w.bt
         if self.use_rope:
-            h, t = rope_rotate(h, t)
+            h, t = (
+                rope_rotate(h, t)
+                if self.rope == "sin"
+                else rope_rotate_int(h, t)
+            )
         ones = np.ones((*h.shape[:2], 1))
         hb = np.concatenate([h, ones], axis=-1)
         tb = np.concatenate([t, ones], axis=-1)
@@ -138,6 +193,8 @@ class GlobalPointerScorer:
         else:
             tri = np.zeros((1, 1, L, L))
         logits = logits - tri * 1e12
+        if not self.scale:
+            return logits  # integer-rule twin: keep exact int64 logits
         return logits / np.sqrt(w.biaffine_size)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
@@ -202,6 +259,38 @@ def score_globalpointer(
     return docs_ds.map_batches(
         GlobalPointerScorer,
         fn_constructor_kwargs={"vocab_ref": vref, "weights_ref": wref},
+        batch_format="pandas",
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
+        **kwargs,
+    )
+
+
+def score_globalpointer_rule(docs_ds, vocab: Optional[Vocab] = None,
+                             **kwargs):
+    """Integer-rule twin of :func:`score_globalpointer`: the SAME
+    forward code path (embedding lookup -> linear heads -> RoPE ->
+    biaffine einsum -> pad+tril masking -> threshold -> multiclass
+    decode) with the ``spec.GP_RULE_*`` integer-exact parameterization
+    — every emitted logit is an exact int64 the DuckDB oracle
+    recomputes from the text (query ``kg_globalpointer_rule``), so the
+    biaffine+RoPE matrix itself is oracle-checked, not just its
+    decode."""
+    from rex_ray.stages.features import build_corpus_vocab
+
+    if vocab is None:
+        vocab = build_corpus_vocab(docs_ds)
+    weights = GlobalPointerRuleWeights(vocab)
+    vref, wref = ray.put(vocab), ray.put(weights)
+    return docs_ds.map_batches(
+        GlobalPointerScorer,
+        fn_constructor_kwargs={
+            "vocab_ref": vref,
+            "weights_ref": wref,
+            "rope": "int",
+            "scale": False,
+            "threshold": 0.0,
+            "max_seq_len": spec.GP_RULE_MAX_LEN,
+        },
         batch_format="pandas",
         concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
         **kwargs,

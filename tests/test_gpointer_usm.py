@@ -79,6 +79,72 @@ def test_gpointer_deterministic_and_threshold_monotone():
     assert (a["end_pos"] > a["start_pos"]).all()  # tril mask respected
 
 
+def test_gpointer_rule_twin_exact_integer_logits():
+    """The integer-rule parameterization (spec.GP_RULE_*) through the
+    REAL forward yields exact integer logits equal to a from-scratch
+    per-pair recompute (md5 emb -> linear heads -> Pythagorean RoPE ->
+    biaffine), truncation at GP_RULE_MAX_LEN included."""
+    import hashlib
+
+    from rex_ray.pipelines import spec
+    from rex_ray.stages.gpointer import GlobalPointerRuleWeights
+
+    toks = ["spark", "join", "table", "zz", "yy", "qq"] * 4  # 24 > 16
+    v = Vocab(sorted(set(toks)))
+    w = GlobalPointerRuleWeights(v)
+    sc = GlobalPointerScorer(
+        v, w, rope="int", scale=False, threshold=0.0,
+        max_seq_len=spec.GP_RULE_MAX_LEN,
+    )
+    out = sc(
+        pd.DataFrame({"doc_id": [1], "text": [" ".join(toks)]})
+    ).to_pandas()
+    # exact integers, truncated to the rule window
+    assert (out["score"] == out["score"].round()).all()
+    assert (out["end_pos"] <= spec.GP_RULE_MAX_LEN).all()
+
+    def emb(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return [
+            int(h[2 * k: 2 * k + 2], 16) % spec.GP_RULE_EMB_MOD - 4
+            for k in range(2)
+        ]
+
+    def rule_logit(ti, tj, i, j, et):
+        e_i, e_j = emb(ti), emb(tj)
+        Wh, bh = spec.GP_RULE_WH, spec.GP_RULE_BH
+        Wt, bt = spec.GP_RULE_WT, spec.GP_RULE_BT
+        h = [
+            e_i[0] * Wh[0][0] + e_i[1] * Wh[1][0] + bh[0],
+            e_i[0] * Wh[0][1] + e_i[1] * Wh[1][1] + bh[1],
+        ]
+        t = [
+            e_j[0] * Wt[0][0] + e_j[1] * Wt[1][0] + bt[0],
+            e_j[0] * Wt[0][1] + e_j[1] * Wt[1][1] + bt[1],
+        ]
+        ci, si = spec.GP_RULE_ROT[i % 4]
+        cj, sj = spec.GP_RULE_ROT[j % 4]
+        rh = [h[0] * ci - h[1] * si, h[1] * ci + h[0] * si]
+        rt = [t[0] * cj - t[1] * sj, t[1] * cj + t[0] * sj]
+        U = spec.GP_RULE_U[et]
+        hb, tb = rh + [1], rt + [1]
+        return sum(
+            hb[a] * U[a][b] * tb[b] for a in range(3) for b in range(3)
+        )
+
+    expect = []
+    for i in range(spec.GP_RULE_MAX_LEN):
+        for j in range(i, spec.GP_RULE_MAX_LEN):
+            for et in sorted(spec.GP_RULE_U):
+                lg = rule_logit(toks[i], toks[j], i, j, et)
+                if lg > 0:
+                    expect.append((et, i, j + 1, float(lg)))
+    got = sorted(
+        zip(out["ent_type"], out["start_pos"], out["end_pos"], out["score"])
+    )
+    assert got == sorted(expect)
+
+
 def test_usm_join_decode_entity_and_relation():
     """Hand-built links for 'A implements B' (single-token spans at
     positions 1 and 3) — reference usm.py:107-166 semantics."""
