@@ -802,6 +802,200 @@ def q_kg_globalpointer_rule(sf_dir: str):
     return gpointer.score_globalpointer_rule(_docs(sf_dir))
 
 
+_IPRE_ID2REL = {0: "rel_a", 1: "rel_b", 2: "rel_c"}
+
+
+def q_kg_ingest_ipre(sf_dir: str):
+    """IPRE-shaped ingest (sources/ingest.ingest_ipre): two raw sides
+    synthesized deterministically from documents (sentences: head =
+    2nd token, tail = 5th token or an absent marker; labels: dup-heavy
+    relation-id strings), joined on id, char-anchored at FIRST
+    substring occurrence with converter drop semantics.  Flattened to
+    span/pred columns for the oracle, which re-derives them with
+    strpos over the same synthesis rule."""
+    from rex_ray.sources import ingest
+
+    docs = _docs(sf_dir)
+
+    def sent_rows(df: pd.DataFrame) -> pd.DataFrame:
+        heads, tails = [], []
+        for t in df["text"]:
+            ts = t.split(" ")
+            heads.append(ts[1] if len(ts) > 1 else ts[0])
+            tails.append(ts[4] if len(ts) > 4 else "\x00absent")
+        return pd.DataFrame(
+            {"id": df["doc_id"], "head": heads, "tail": tails,
+             "text": df["text"]}
+        )
+
+    def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "id": df["doc_id"],
+                "relations": [
+                    f"{i % 3} {(i // 3) % 3} {i % 3}" for i in ids
+                ],
+            }
+        )
+
+    sent = docs.map_batches(sent_rows, batch_format="pandas")
+    labels = docs.map_batches(label_rows, batch_format="pandas")
+    canon = ingest.ingest_ipre(sent, labels, _IPRE_ID2REL)
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, ents, rels in zip(
+            df["doc_id"], df["entities"], df["relations"]
+        ):
+            h, t = ents[0], ents[1]
+            rows.append(
+                (
+                    int(doc_id),
+                    int(h["start"]), int(h["end"]),
+                    int(t["start"]), int(t["end"]),
+                    ",".join(r["predicate"] for r in rels),
+                )
+            )
+        import pyarrow as pa
+
+        from rex_ray.functions.blocks import arrow_block
+
+        return arrow_block(
+            pd.DataFrame(
+                rows,
+                columns=["doc_id", "head_start", "head_end",
+                         "tail_start", "tail_end", "preds"],
+            ),
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("head_start", pa.int64()),
+                 ("head_end", pa.int64()), ("tail_start", pa.int64()),
+                 ("tail_end", pa.int64()), ("preds", pa.string())]
+            ),
+        )
+
+    return canon.map_batches(flat, batch_format="pandas")
+
+
+def q_kg_ingest_webnlg(sf_dir: str):
+    """WebNLG-shaped ingest (sources/ingest.ingest_webnlg): docs coded
+    into word ids under the corpus vocab, triples at every 7th
+    position with wrap-around endpoints (forcing the entity-dedup
+    path), decoded back through the id2word/id2rel broadcast remap.
+    Flattened to one row per relation carrying the FIRST-APPEARANCE
+    entity indices the converter computes with ``entities.index``."""
+    from rex_ray.sources import ingest
+    from rex_ray.state.dictionaries import distinct_corpus_tokens
+
+    docs = _docs(sf_dir)
+    words = sorted(distinct_corpus_tokens(docs))
+    word2id = {w: i for i, w in enumerate(words)}
+    id2word = {i: w for i, w in enumerate(words)}
+    w2i_ref = __import__("ray").put(word2id)
+
+    def raw_rows(df: pd.DataFrame, _ref=w2i_ref) -> pd.DataFrame:
+        import ray as _ray
+
+        w2i = _ray.get(_ref) if not isinstance(_ref, dict) else _ref
+        sents, spos = [], []
+        ids = df["doc_id"].astype("int64")
+        for doc_id, t in zip(ids, df["text"]):
+            ts = t.split(" ")
+            n = len(ts)
+            sents.append([w2i[w] for w in ts])
+            flat = []
+            for i in range(0, n, 7):
+                flat.extend([i, (i + 3) % n, (int(doc_id) + i) % 3])
+            spos.append(flat)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "sent": sents, "spo": spos}
+        )
+
+    raw = docs.map_batches(raw_rows, batch_format="pandas")
+    canon = ingest.ingest_webnlg(raw, id2word, _IPRE_ID2REL)
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, tokens, ents, rels in zip(
+            df["doc_id"], df["tokens"], df["entities"], df["relations"]
+        ):
+            for k, r in enumerate(rels):
+                hp = ents[r["head"]]["start"]
+                tp = ents[r["tail"]]["start"]
+                rows.append(
+                    (
+                        int(doc_id), k, r["predicate"],
+                        int(hp), int(tp),
+                        int(r["head"]), int(r["tail"]),
+                        tokens[hp], tokens[tp],
+                    )
+                )
+        import pyarrow as pa
+
+        from rex_ray.functions.blocks import arrow_block
+
+        return arrow_block(
+            pd.DataFrame(
+                rows,
+                columns=["doc_id", "rel_idx", "predicate", "head_pos",
+                         "tail_pos", "head_ent_idx", "tail_ent_idx",
+                         "head_text", "tail_text"],
+            ),
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("rel_idx", pa.int64()),
+                 ("predicate", pa.string()), ("head_pos", pa.int64()),
+                 ("tail_pos", pa.int64()), ("head_ent_idx", pa.int64()),
+                 ("tail_ent_idx", pa.int64()), ("head_text", pa.string()),
+                 ("tail_text", pa.string())]
+            ),
+        )
+
+    return canon.map_batches(flat, batch_format="pandas")
+
+
+def q_kg_ingest_bmes(sf_dir: str):
+    """MSRA-BMES-shaped ingest: gazetteer runs rendered to B/M/E/S tag
+    lines, round-tripped through the REAL line parser
+    (sources/ingest.parse_bmes_lines) and the reference tag decoder —
+    the oracle re-derives the merged entity spans with an islands
+    query, so any render / parse / decode drift hash-mismatches."""
+    from rex_ray.functions.tagging import get_entities_from_tags
+    from rex_ray.sources import ingest
+
+    gaz = spec.GAZETTEER
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            ts = text.split(" ")
+            types = [gaz.get(t, "") for t in ts]
+            tags = ingest.render_bmes_tags(ts, types)
+            lines = [f"{tok} {tag}" for tok, tag in zip(ts, tags)] + [""]
+            for d in ingest.parse_bmes_lines(lines, shard=str(doc_id)):
+                for surface, et, (s, e) in get_entities_from_tags(
+                    d["tokens"], d["ner_tags"], join=" "
+                ):
+                    rows.append((int(doc_id), et, s, e, surface))
+        import pyarrow as pa
+
+        from rex_ray.functions.blocks import arrow_block
+
+        return arrow_block(
+            pd.DataFrame(
+                rows,
+                columns=["doc_id", "ent_type", "start_pos", "end_pos",
+                         "surface"],
+            ),
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("ent_type", pa.string()),
+                 ("start_pos", pa.int64()), ("end_pos", pa.int64()),
+                 ("surface", pa.string())]
+            ),
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
 def q_kg_disambiguated_mentions(sf_dir: str):
     """Ambiguous-surface mentions resolved by embedding-cosine context
     similarity (broadcast candidate matrix, one matmul per batch).
@@ -1078,6 +1272,87 @@ QUALIFY row_number() OVER (
 """
 
 _SQL["kg_globalpointer_rule"] = spec.sql_gp_rule()
+
+# id2rel rule shared with _IPRE_ID2REL: 'rel_' || chr(97 + id)
+_SQL["kg_ingest_ipre"] = """
+WITH raw AS (
+    SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+),
+sides AS (
+    SELECT doc_id, text,
+           CASE WHEN len(ts) > 1 THEN ts[2] ELSE ts[1] END AS head,
+           CASE WHEN len(ts) > 4 THEN ts[5]
+                ELSE chr(0) || 'absent' END AS tail,
+           doc_id % 3 AS ra, (doc_id // 3) % 3 AS rb
+    FROM raw
+)
+SELECT doc_id,
+       CAST(strpos(text, head) - 1 AS BIGINT) AS head_start,
+       CAST(strpos(text, head) - 1 + length(head) AS BIGINT) AS head_end,
+       CAST(strpos(text, tail) - 1 AS BIGINT) AS tail_start,
+       CAST(strpos(text, tail) - 1 + length(tail) AS BIGINT) AS tail_end,
+       CASE WHEN ra = rb THEN 'rel_' || chr(97 + CAST(ra AS INT))
+            WHEN ra < rb THEN 'rel_' || chr(97 + CAST(ra AS INT))
+                 || ',rel_' || chr(97 + CAST(rb AS INT))
+            ELSE 'rel_' || chr(97 + CAST(rb AS INT))
+                 || ',rel_' || chr(97 + CAST(ra AS INT)) END AS preds
+FROM sides
+WHERE strpos(text, head) > 0 AND strpos(text, tail) > 0
+"""
+
+_SQL["kg_ingest_webnlg"] = """
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+tri AS (
+    SELECT doc_id, ts, i AS h, (i + 3) % len(ts) AS t,
+           (doc_id + i) % 3 AS r, i // 7 AS rel_idx
+    FROM base, LATERAL (SELECT unnest(range(0, len(ts), 7)) AS i)
+),
+app AS (
+    SELECT doc_id, pos, MIN(ord) AS first_app FROM (
+        SELECT doc_id, h AS pos, 2 * rel_idx AS ord FROM tri
+        UNION ALL
+        SELECT doc_id, t AS pos, 2 * rel_idx + 1 AS ord FROM tri
+    ) GROUP BY doc_id, pos
+),
+idx AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY first_app
+           ) - 1 AS ent_idx
+    FROM app
+)
+SELECT tri.doc_id,
+       CAST(rel_idx AS BIGINT) AS rel_idx,
+       'rel_' || chr(97 + CAST(r AS INT)) AS predicate,
+       CAST(h AS BIGINT) AS head_pos,
+       CAST(t AS BIGINT) AS tail_pos,
+       CAST(hi.ent_idx AS BIGINT) AS head_ent_idx,
+       CAST(ti.ent_idx AS BIGINT) AS tail_ent_idx,
+       ts[h + 1] AS head_text,
+       ts[t + 1] AS tail_text
+FROM tri
+JOIN idx hi ON hi.doc_id = tri.doc_id AND hi.pos = tri.h
+JOIN idx ti ON ti.doc_id = tri.doc_id AND ti.pos = tri.t
+"""
+
+_SQL["kg_ingest_bmes"] = f"""
+WITH {_kg_ctes()},
+runs AS (
+    SELECT doc_id, pos, surface, ent_type,
+           pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, ent_type ORDER BY pos
+           ) AS grp
+    FROM mention
+)
+SELECT doc_id,
+       ent_type,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) + 1 AS BIGINT) AS end_pos,
+       STRING_AGG(surface, ' ' ORDER BY pos) AS surface
+FROM runs GROUP BY doc_id, ent_type, grp
+"""
 
 _SQL["kg_usm_relations"] = f"""
 WITH {_kg_ctes()},
@@ -1644,6 +1919,9 @@ QUERIES: Dict[str, Callable] = {
     "kg_disambiguated_mentions": q_kg_disambiguated_mentions,
     "kg_globalpointer_scored": q_kg_globalpointer_scored,
     "kg_globalpointer_rule": q_kg_globalpointer_rule,
+    "kg_ingest_ipre": q_kg_ingest_ipre,
+    "kg_ingest_webnlg": q_kg_ingest_webnlg,
+    "kg_ingest_bmes": q_kg_ingest_bmes,
     "kg_ner_type_prf": q_kg_ner_type_prf,
     "kg_mrc_entities": q_kg_mrc_entities,
     "kg_mrc_doc_counts": q_kg_mrc_doc_counts,

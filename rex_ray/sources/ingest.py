@@ -1,0 +1,253 @@
+"""Per-dataset ingest normalizers for the reference's remaining raw
+corpus shapes (round-2 verdict "What's missing" #1): IPRE
+(label-file + id2sent join, ``/root/reference/data/IPRE/convert.py:7-41``),
+WebNLG (word-id remap + entity dedup indexing,
+``/root/reference/data/WebNLG/convert.py:10-44``) and MSRA BMES
+(line-grouped char/tag stream, ``/root/reference/data/MSRAv2/convert.py:19-42``)
+— each re-expressed as Ray Data ``map_batches`` normalizers into the
+canonical (doc_id, tokens, entities, relations) doc shape of
+``sources/io.normalize_raw_records``.
+
+Scale notes: the IPRE id2sent probe becomes a hash-shuffle JOIN (the
+reference builds a driver dict of the whole sentence file); WebNLG's
+id2word/id2rel stay broadcast dicts (genuinely small vocab state);
+BMES files are parsed one-file-per-task because doc boundaries are
+blank LINES — a format that cannot be split mid-file without boundary
+healing, so the raw file is the shard unit (documented partitioning
+assumption).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from rex_ray.functions.blocks import arrow_block
+
+_CANON_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.string())),
+        ("entities", pa.list_(
+            pa.struct(
+                [("ent_type", pa.string()), ("start", pa.int32()),
+                 ("end", pa.int32())]
+            )
+        )),
+        ("relations", pa.list_(
+            pa.struct(
+                [("predicate", pa.string()), ("head", pa.int32()),
+                 ("tail", pa.int32())]
+            )
+        )),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# IPRE: two csv-shaped sides joined on sentence id, char tokenization,
+# FIRST-OCCURRENCE char anchoring with drop semantics, relation-id SET
+# ---------------------------------------------------------------------------
+
+def ingest_ipre(sent_ds, label_ds, id2rel: Dict[int, str],
+                num_partitions: int = None):
+    """IPRE-shaped ingest: ``sent_ds`` (id, head, tail, text) joined to
+    ``label_ds`` (id, relations as space-joined int ids) -> canonical
+    docs.
+
+    Reference semantics preserved (IPRE/convert.py:7-41): char
+    tokenization (``list(text)``), head/tail anchored at their FIRST
+    char-level substring occurrence (which may fall inside another
+    word), records with an unanchorable head or tail DROPPED, relation
+    ids deduplicated as a set, entity type fixed 'PER', relation
+    entity indices fixed (0, 1).  The reference's driver-resident
+    ``id2sent`` dict becomes a hash-shuffle join; only the (small)
+    id2rel map is broadcast.
+    """
+    from rex_ray.functions.blocks import compact_blocks
+    from rex_ray.stages.relational import default_join_partitions
+
+    rel_ref = ray.put(dict(id2rel))
+
+    joined = compact_blocks(label_ds).join(
+        compact_blocks(sent_ds),
+        join_type="inner",
+        on=("id",),
+        num_partitions=num_partitions or default_join_partitions(),
+    )
+
+    def normalize(batch: pd.DataFrame, _ref=rel_ref) -> pa.Table:
+        id2r = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        out = {"doc_id": [], "tokens": [], "entities": [], "relations": []}
+        for rid, head, tail, text, rels in zip(
+            batch["id"], batch["head"], batch["tail"], batch["text"],
+            batch["relations"],
+        ):
+            h = text.find(head)   # first char-level occurrence
+            t = text.find(tail)
+            if h < 0 or t < 0:
+                continue  # converter drop semantics
+            out["doc_id"].append(str(rid))
+            out["tokens"].append(list(text))
+            out["entities"].append(
+                [
+                    {"ent_type": "PER", "start": h, "end": h + len(head)},
+                    {"ent_type": "PER", "start": t, "end": t + len(tail)},
+                ]
+            )
+            rel_ids = sorted({int(r) for r in str(rels).split()})
+            out["relations"].append(
+                [{"predicate": id2r[r], "head": 0, "tail": 1}
+                 for r in rel_ids]
+            )
+        if not out["doc_id"]:  # all records dropped in this batch
+            return _CANON_SCHEMA.empty_table()
+        return arrow_block(pd.DataFrame(out), schema=_CANON_SCHEMA)
+
+    return joined.map_batches(normalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# WebNLG: word-id remap + first-appearance entity dedup indexing
+# ---------------------------------------------------------------------------
+
+def ingest_webnlg(raw_ds, id2word: Dict[int, str], id2rel: Dict[int, str]):
+    """WebNLG-shaped ingest: rows (doc_id, sent list<int word ids>,
+    spo flat list<int>, len divisible by 3) -> canonical docs.
+
+    Reference semantics preserved (WebNLG/convert.py:10-44): tokens =
+    id2word remap; one single-token 'ENTITY' per distinct triple
+    endpoint, deduplicated in FIRST-APPEARANCE order (``if ent not in
+    entities``); each relation row carries the entity-list INDICES of
+    its endpoints (``entities.index(...)``).  id2word/id2rel are
+    broadcast dicts (small vocab state, SURVEY.md §2.4)."""
+    maps_ref = ray.put((dict(id2word), dict(id2rel)))
+
+    def normalize(batch: pd.DataFrame, _ref=maps_ref) -> pa.Table:
+        i2w, i2r = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        out = {"doc_id": [], "tokens": [], "entities": [], "relations": []}
+        for doc_id, sent, spo in zip(
+            batch["doc_id"], batch["sent"], batch["spo"]
+        ):
+            tokens = [i2w[int(w)] for w in sent]
+            ent_pos: List[int] = []     # first-appearance order
+            pos2idx: Dict[int, int] = {}
+            rels = []
+            triples = np.asarray(list(spo), dtype=np.int64).reshape(-1, 3)
+            for h, t, r in triples:
+                for p in (int(h), int(t)):
+                    if p not in pos2idx:
+                        pos2idx[p] = len(ent_pos)
+                        ent_pos.append(p)
+                rels.append(
+                    {
+                        "predicate": i2r[int(r)],
+                        "head": pos2idx[int(h)],
+                        "tail": pos2idx[int(t)],
+                    }
+                )
+            out["doc_id"].append(str(doc_id))
+            out["tokens"].append(tokens)
+            out["entities"].append(
+                [
+                    {"ent_type": "ENTITY", "start": p, "end": p + 1}
+                    for p in ent_pos
+                ]
+            )
+            out["relations"].append(rels)
+        if not out["doc_id"]:
+            return _CANON_SCHEMA.empty_table()
+        return arrow_block(pd.DataFrame(out), schema=_CANON_SCHEMA)
+
+    return raw_ds.map_batches(normalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MSRA BMES: line-grouped char/tag stream -> docs
+# ---------------------------------------------------------------------------
+
+def parse_bmes_lines(lines, shard: str = "bmes") -> List[dict]:
+    """Pure parser for the 'char tag' / blank-line-separated format
+    (MSRAv2/convert.py:19-42): groups lines into docs, skips empty
+    groups, ids ``{shard}.{idx}``.  Lines with != 2 fields act as doc
+    separators (the reference's csv loader yields short rows for blank
+    lines)."""
+    docs: List[dict] = []
+    tokens: List[str] = []
+    tags: List[str] = []
+    for line in lines:
+        parts = line.split(" ")
+        if len(parts) == 2 and parts[0] != "":
+            tokens.append(parts[0])
+            tags.append(parts[1])
+        else:
+            if tokens:
+                docs.append(
+                    {
+                        "id": f"{shard}.{len(docs)}",
+                        "tokens": tokens,
+                        "ner_tags": tags,
+                    }
+                )
+            tokens, tags = [], []
+    if tokens:
+        docs.append(
+            {"id": f"{shard}.{len(docs)}", "tokens": tokens, "ner_tags": tags}
+        )
+    return docs
+
+
+def ingest_bmes_files(paths: List[str]):
+    """BMES raw files -> Dataset of (doc_id, tokens, ner_tags).
+
+    Partitioning assumption (documented): ONE RAW FILE = ONE TASK —
+    doc boundaries are blank lines, so a file cannot be split across
+    blocks without boundary healing; shard raw corpora into many files
+    upstream for parallelism (the reference's train/dev/test split
+    already is)."""
+    import ray.data as rd
+
+    def parse_file(row: dict):
+        with open(row["path"], "r", encoding="utf-8") as f:
+            lines = [ln.rstrip("\n") for ln in f]
+        import os
+
+        shard = os.path.basename(row["path"])
+        for d in parse_bmes_lines(lines, shard=shard):
+            yield {
+                "doc_id": d["id"],
+                "tokens": d["tokens"],
+                "ner_tags": d["ner_tags"],
+            }
+
+    return rd.from_items([{"path": p} for p in paths]).flat_map(parse_file)
+
+
+def render_bmes_tags(tokens: List[str], types: List[str]) -> List[str]:
+    """Token-level BMES tags from per-token entity types ('' = outside):
+    maximal runs of the same non-empty type render as S (length 1) or
+    B M* E — the MSRA tag alphabet."""
+    n = len(tokens)
+    tags = ["O"] * n
+    i = 0
+    while i < n:
+        if not types[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and types[j + 1] == types[i]:
+            j += 1
+        if i == j:
+            tags[i] = f"S-{types[i]}"
+        else:
+            tags[i] = f"B-{types[i]}"
+            for k in range(i + 1, j):
+                tags[k] = f"M-{types[i]}"
+            tags[j] = f"E-{types[i]}"
+        i = j + 1
+    return tags
