@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "dd_split_leakage",              # train/val n-gram leakage audit
     "kg_predicate_overlap",          # AMIE domain-overlap candidates
     "kg_grounded_mentions",          # mention-media span grounding
+    # round-3 additions
+    "kg_globalpointer_rule",         # integer-exact biaffine einsum
+    "kg_ingest_webnlg",              # ingest join + id remap + indexing
+    "kg_ingest_bmes",                # BMES render/parse/decode roundtrip
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

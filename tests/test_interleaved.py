@@ -216,6 +216,43 @@ def test_ground_mentions_layout_driven(ray_session):
     ]
 
 
+def test_lance_roundtrip_when_available(ray_session, tmp_path):
+    """Native Lance read/write smoke test — runs only where `lance` is
+    importable (absent in this sandbox; the first cluster image with
+    lance installed validates the path at zero cost here).  Asserts a
+    bit-exact spans round-trip and the span-sequence invariant through
+    rd.read_lance, mirroring the Parquet-fallback assertion below."""
+    import pytest
+
+    pytest.importorskip("lance")
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rex_ray.sources.interleaved import (
+        read_interleaved,
+        validate_span_sequence,
+        write_interleaved,
+    )
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).limit(50)
+    inter = il.synthesize_interleaved(docs)
+    want = inter.to_pandas().sort_values("doc_id", ignore_index=True)
+
+    out = str(tmp_path / "inter.lance")
+    write_interleaved(inter, out)
+    back = read_interleaved(out)
+    got = back.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    for a, b in zip(got["spans"], want["spans"]):
+        assert list(a) == list(b)  # kind/text/media_ref/offset, in order
+    validate_span_sequence(
+        pa.Table.from_pandas(got, preserve_index=False)
+    )
+
+
 def test_ground_mentions_zero_span_first_doc(ray_session):
     """A zero-span doc at the HEAD of a batch must not shift later
     docs' token offsets (regression: the unguarded csum[-1] gather made
