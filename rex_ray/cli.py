@@ -159,6 +159,73 @@ def _fiveseed(cfg: Dict[str, Any]):
     }
 
 
+@register("pipeline", "ingest")
+def _ingest(cfg: Dict[str, Any]):
+    """Raw-corpus ingest into the canonical (doc_id, tokens, entities,
+    relations) parquet shape.  ``-a shape={nyt10,ipre,webnlg,bmes}``:
+
+      nyt10   -a raw=<jsonl glob>  (doc_id, text, head, tail, relation)
+      ipre    -a sent_path=<jsonl> -a label_path=<jsonl>
+              -a rel2id_path=<json {relation: id}>
+      webnlg  -a raw_path=<json [sents, spos]> -a word2id_path=<json>
+              -a rel2id_path=<json>
+      bmes    -a raw=<comma-joined BMES file paths>  (docs only:
+              doc_id, tokens, ner_tags)
+
+    Output parquet lands in ``<out_dir>/ingested``.  Reference
+    converters: data/{NYT10,IPRE,WebNLG,MSRAv2}/convert.py."""
+    import shutil
+
+    import ray.data as rd
+
+    from rex_ray.sources import ingest as ing
+    from rex_ray.sources import io as rio
+
+    shape = cfg.get("shape", "nyt10")
+    if shape == "nyt10":
+        ds = rio.ingest_raw_corpus(rio.read_jsonlines_ds(cfg["raw"]))
+    elif shape == "ipre":
+        rel2id = rio.load_json(cfg["rel2id_path"])
+        id2rel = {int(v): k for k, v in rel2id.items()}
+        ds = ing.ingest_ipre(
+            rio.read_jsonlines_ds(cfg["sent_path"]),
+            rio.read_jsonlines_ds(cfg["label_path"]),
+            id2rel,
+        )
+    elif shape == "webnlg":
+        sents, spos = rio.load_json(cfg["raw_path"])
+        word2id = rio.load_json(cfg["word2id_path"])
+        rel2id = rio.load_json(cfg["rel2id_path"])
+        raw = rd.from_items(
+            [
+                {"doc_id": f"{i}", "sent": s, "spo": p}
+                for i, (s, p) in enumerate(zip(sents, spos))
+            ]
+        )
+        ds = ing.ingest_webnlg(
+            raw,
+            {int(v): k for k, v in word2id.items()},
+            {int(v): k for k, v in rel2id.items()},
+        )
+    elif shape == "bmes":
+        ds = ing.ingest_bmes_files(str(cfg["raw"]).split(","))
+    else:
+        raise ValueError(f"unknown ingest shape: {shape}")
+
+    out = os.path.join(cfg["out_dir"], "ingested")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    ds.write_parquet(out)
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_metadata(os.path.join(out, f)).num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    return {"rows": n, "shape": shape, "ingested": out}
+
+
 def _register_query_pipelines() -> None:
     from rex_ray.pipelines.queries import queries
 

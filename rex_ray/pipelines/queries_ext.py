@@ -160,10 +160,13 @@ def q_revenue_by_nation(sf_dir: str):
         joined, ["o_custkey"], {"rev_cents": "rev_cents"}, counts="n_items"
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    # small join (|customers| rows per side): partitions sized to the
+    # data volume, not the cluster width — the hash-shuffle operator's
+    # per-partition actors dominate a 16-way plan here (r2 lesson)
     with_nkey = compact_blocks(per_cust).join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=4,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )

@@ -89,6 +89,72 @@ def test_parse_bmes_lines_and_file_ingest(ray_session, tmp_path):
     assert list(ds["tokens"][1]) == ["李", "白"]
 
 
+def test_cli_ingest_pipeline_ipre_and_bmes(ray_session, tmp_path):
+    """The `ingest` CLI pipeline normalizes raw files end-to-end into
+    canonical parquet (shape=ipre and shape=bmes)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    import rex_ray.cli  # noqa: F401  (registers pipelines)
+    from rex_ray.registry import get_registered
+
+    ing = get_registered("pipeline", "ingest")
+
+    sent = tmp_path / "sent.jsonl"
+    sent.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"id": 1, "head": "ab", "tail": "cd", "text": "xx ab cd"},
+                {"id": 2, "head": "zz", "tail": "cd", "text": "ab cd"},
+            ]
+        )
+        + "\n"
+    )
+    labels = tmp_path / "labels.jsonl"
+    labels.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"id": 1, "relations": "1 0 1"},
+                {"id": 2, "relations": "0"},
+            ]
+        )
+        + "\n"
+    )
+    rel2id = tmp_path / "rel2id.json"
+    rel2id.write_text(json.dumps({"born_in": 0, "works_at": 1}))
+    out = ing(
+        {
+            "shape": "ipre",
+            "sent_path": str(sent),
+            "label_path": str(labels),
+            "rel2id_path": str(rel2id),
+            "out_dir": str(tmp_path / "o1"),
+        }
+    )
+    assert out["rows"] == 1  # id 2 dropped ('zz' unanchorable)
+    t = pq.read_table(out["ingested"]).to_pandas()
+    assert t["doc_id"].tolist() == ["1"]
+    assert [r["predicate"] for r in t["relations"][0]] == [
+        "born_in", "works_at"
+    ]
+
+    bmes = tmp_path / "raw.bmes"
+    bmes.write_text("a B-X\nb E-X\n\nc S-Y\n")
+    out2 = ing(
+        {
+            "shape": "bmes",
+            "raw": str(bmes),
+            "out_dir": str(tmp_path / "o2"),
+        }
+    )
+    assert out2["rows"] == 2
+    t2 = pq.read_table(out2["ingested"]).to_pandas()
+    assert sorted(len(x) for x in t2["tokens"]) == [1, 2]
+
+
 def test_render_bmes_tags_runs():
     toks = ["a", "b", "c", "d", "e"]
     types = ["X", "X", "", "Y", "X"]
