@@ -566,6 +566,33 @@ def q_ta_bpe_merges(sf_dir: str):
     )
 
 
+def q_ta_bpe_encode(sf_dir: str):
+    """BPE tokenizer APPLICATION (the encode half pairing with
+    ta_bpe_merges' training): the fixed spec.BPE_ENCODE_MERGES list
+    applied in rank order to every word occurrence — exact subword
+    strings, so the oracle replays the same merges with boundary-
+    marked ordered replaces."""
+    from rex_ray.pipelines import spec
+    from rex_ray.stages.textstats import bpe_encode
+
+    return bpe_encode(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        spec.BPE_ENCODE_MERGES,
+    )
+
+
+def q_ta_corpus_sample(sf_dir: str):
+    """Bottom-k/KMV uniform corpus sample: the 100 docs with the
+    smallest md5(doc_id) — deterministic, associative (each batch
+    contributes <= k partial rows), invariant to sharding and cluster
+    size; the 'inspect a uniform sample of 100 TB' tool."""
+    from rex_ray.stages.textstats import bottomk_sample
+
+    return bottomk_sample(
+        _read(sf_dir, "documents", columns=["doc_id"]), "doc_id", k=100
+    )
+
+
 def q_ta_tfidf(sf_dir: str):
     """Distributed TF-IDF per (doc_id, token): one slim doc-token
     shuffle for tf, a vocabulary-sized broadcast for df (no second
@@ -1527,6 +1554,22 @@ SELECT a, b, CAST(count(*) AS BIGINT) AS freq
 FROM pairs GROUP BY a, b
 """
 
+
+def _bpe_encode_sql() -> str:
+    from rex_ray.pipelines import spec
+
+    return spec.sql_bpe_encode()
+
+
+EXT_SQL["ta_bpe_encode"] = _bpe_encode_sql()
+
+EXT_SQL["ta_corpus_sample"] = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT 100
+"""
+
 # stages/textstats.PatternScrubber with the query's corpus-firing
 # patterns; counts on original text, sequential replace (replacements
 # never re-create a pattern).
@@ -1987,6 +2030,8 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_skipgram_pairs": q_ta_skipgram_pairs,
     "ta_chunks": q_ta_chunks,
     "ta_bpe_pairs": q_ta_bpe_pairs,
+    "ta_bpe_encode": q_ta_bpe_encode,
+    "ta_corpus_sample": q_ta_corpus_sample,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,

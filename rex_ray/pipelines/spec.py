@@ -166,6 +166,22 @@ GP_RULE_U: Dict[str, List[List[int]]] = {
 # (cos, sin) * 5^r for r = pos % 4: exact integer rotations
 GP_RULE_ROT: List[Tuple[int, int]] = [(1, 0), (3, 4), (-7, 24), (-117, 44)]
 
+# ---------------------------------------------------------------------------
+# Fixed BPE merge list for the oracle-checked tokenizer-application
+# query (ta_bpe_encode): rank-ordered, with later merges consuming
+# earlier outputs ('jo'+'in' needs both predecessors) — the corpus-
+# TRAINED list from bpe_train plugs into the same operator (round-
+# tripped in tests); the fixed literal is what makes a static SQL
+# oracle possible.  Contract: words and merge tokens contain no '|'
+# (the oracle's boundary marker).
+# ---------------------------------------------------------------------------
+
+BPE_ENCODE_MERGES: List[Tuple[str, str]] = [
+    ("o", "r"), ("e", "r"), ("or", "d"),
+    ("j", "o"), ("i", "n"), ("jo", "in"),
+    ("s", "c"), ("a", "n"),
+]
+
 
 # ---------------------------------------------------------------------------
 # SQL fragment renderers (DuckDB dialect) — used by the oracle queries.
@@ -219,6 +235,35 @@ SQL_MENTIONS = f"""
 
 def sql_mentions() -> str:
     return SQL_MENTIONS.format(gaz=sql_gazetteer_values())
+
+
+def sql_bpe_encode() -> str:
+    """Oracle for ta_bpe_encode: every word rendered as a
+    boundary-marked character string ('||c1||c2||'), each merge
+    (a, b) applied in rank order as replace('|a||b|' -> '|ab|') —
+    leftmost non-overlapping replacement, the same scan rule as the
+    token-list merge loop; the doubled '||' boundary prevents the
+    token-suffix false match a naive 'a b'->'ab' replace commits
+    (equivalence pytest-asserted on adversarial words)."""
+    expr = "'||' || regexp_replace(word, '(.)', '\\1||', 'g')"
+    for a, b in BPE_ENCODE_MERGES:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+WITH toks AS ({SQL_TOKENS}),
+enc AS (
+    SELECT doc_id, pos, tok AS word,
+           trim(replace({expr}, '||', ' ')) AS encoded
+    FROM toks
+)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS pos,
+       word,
+       encoded,
+       CAST(CASE WHEN word = '' THEN 0
+                 ELSE len(string_split(encoded, ' ')) END
+            AS BIGINT) AS n_subwords
+FROM enc
+"""
 
 
 def sql_gp_rule() -> str:

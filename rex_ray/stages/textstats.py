@@ -577,6 +577,119 @@ def bpe_train(docs_ds, num_merges: int = 10, top_k: int = 20000):
     )
 
 
+def bpe_encode(docs_ds, merges):
+    """Apply a trained BPE merge list to the corpus — the tokenizer-
+    APPLICATION half that pairs with :func:`bpe_train` (Sennrich et
+    al. ACL'16 inference): each word starts as its character sequence
+    and every merge (a, b) -> ab is applied in rank order with
+    leftmost non-overlapping scanning (exactly the training loop's
+    application rule, so train->encode round-trips).
+
+    ``merges``: list of (a, b) in rank order (from ``bpe_train`` rows
+    or a spec literal).  Broadcast once; the encode is one streaming
+    map pass (token counting at scale is this op with a sum on top).
+    Output: one row per word occurrence (doc_id, pos, word, encoded
+    subwords space-joined, n_subwords) — exact strings, so a DuckDB
+    oracle replays the same merges with ordered replace() calls
+    (leftmost non-overlapping replacement is the same scan rule).
+    """
+    import ray as _ray
+
+    merges_ref = _ray.put([(str(a), str(b)) for a, b in merges])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("word", pa.string()),
+            ("encoded", pa.string()),
+            ("n_subwords", pa.int64()),
+        ]
+    )
+
+    def apply_merges(w: str, ms) -> str:
+        # token-list merge with leftmost non-overlapping scanning —
+        # identical to bpe_train's application loop.  (A naive
+        # `"a b" -> "ab"` string replace would false-match a token
+        # SUFFIX, e.g. 'xa b'; the SQL oracle avoids the same trap
+        # with doubled boundary markers — equivalence is pytest-
+        # asserted on adversarial words.)
+        toks = list(w)
+        for a, b in ms:
+            out, i = [], 0
+            n = len(toks)
+            while i < n:
+                if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return " ".join(toks)
+
+    def encode(batch: pd.DataFrame, _ref=merges_ref) -> pa.Table:
+        from rex_ray.stages.dedup import _side_object
+
+        ms = _side_object(_ref)
+        ids: list = []
+        poss: list = []
+        words: list = []
+        encs: list = []
+        # per-batch memo: corpora repeat words heavily (Zipf), so each
+        # distinct word encodes once per batch
+        memo: dict = {}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            for pos, w in enumerate(text.split(" ")):
+                e = memo.get(w)
+                if e is None:
+                    memo[w] = e = apply_merges(w, ms)
+                ids.append(int(doc_id))
+                poss.append(pos)
+                words.append(w)
+                encs.append(e)
+        n_sub = [e.count(" ") + 1 if e else 0 for e in encs]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "encoded": pa.array(encs, pa.string()),
+                "n_subwords": pa.array(n_sub, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return docs_ds.map_batches(encode, batch_format="pandas")
+
+
+def bottomk_sample(ds, id_col: str, k: int = 1000):
+    """Deterministic uniform corpus sample: the ``k`` rows with the
+    smallest ``md5(id)`` — the bottom-k / KMV sketch (Bar-Yossef et
+    al. RANDOM'02) that backs "inspect a uniform sample of the
+    corpus" and distinct-count estimation at 100 TB.  Associative:
+    each batch contributes at most k candidate rows (partial
+    bottom-k), the global sort-limit merges them; re-runs, shard
+    counts and cluster sizes cannot change the sample (pure function
+    of the ids).  Oracle: ORDER BY md5(id), id LIMIT k.
+    Output: (id_col, h) sorted ascending by (h, id)."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+        order = sorted(range(len(ids)), key=lambda i: (h[i], ids[i]))[:k]
+        return pa.table(
+            {
+                id_col: pa.array([ids[i] for i in order]),
+                "h": pa.array([h[i] for i in order], pa.string()),
+            }
+        )
+
+    part = pre_shuffle(ds.map_batches(partial, batch_format="pyarrow"))
+    return part.sort(["h", id_col]).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # bigram-LM perplexity (CCNet-style quality signal)
 # ---------------------------------------------------------------------------

@@ -774,7 +774,78 @@ def test_dsir_dual_fit_matches_independent_fits_min_count(ray_session):
         assert got[2] == want[2]
 
 
-def test_ppl_tiers_thirds_and_value_ties(ray_session):
+def test_bpe_encode_matches_sql_replace_on_adversarial_words(ray_session):
+    """The token-list merge loop and the oracle's boundary-marked
+    string replaces are the SAME function — asserted on the words that
+    break a naive 'a b'->'ab' replace: token-suffix false match
+    ('xab': 'a' is a suffix of nothing here but 'xa'+'b' adjacency is),
+    self-merge runs ('aaaa' with (a,a)), chained merges, adjacency
+    after a merge."""
+    import duckdb
+    import ray.data as rd
+
+    from rex_ray.stages.textstats import bpe_encode
+
+    merges = [("a", "b"), ("a", "a"), ("ab", "c"), ("o", "r"),
+              ("or", "d")]
+    words = [
+        "xab",      # 'a b' must merge; the x prefix must not block it
+        "xaab",     # 'aa' then no 'ab' left (a consumed) -> x aa b
+        "aaaa",     # (a,a) leftmost non-overlap -> aa aa
+        "aaab",     # ab merges first (rank 0) -> a a ab -> aa ab
+        "abc",      # chained: ab then ab+c
+        "ordword",  # or, then or+d
+        "",         # empty word edge
+    ]
+    docs = rd.from_items(
+        [{"doc_id": i, "text": w} for i, w in enumerate(words)]
+    )
+    got = (
+        bpe_encode(docs, merges)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    expr = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"
+    for a, b in merges:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    sql = duckdb.connect().execute(
+        f"SELECT trim(replace({expr}, '||', ' ')) FROM (VALUES "
+        + ", ".join(f"('{w}')" for w in words)
+        + ") AS t(w)"
+    ).fetchall()
+    assert got["encoded"].tolist() == [r[0] for r in sql]
+    # spot-check the hand-derived expansions
+    by_word = dict(zip(got["word"], got["encoded"]))
+    assert by_word["aaaa"] == "aa aa"
+    assert by_word["aaab"] == "aa ab"
+    assert by_word["abc"] == "abc"
+    assert by_word["xab"] == "x ab"
+    assert by_word["ordword"] == "ord w ord"
+
+
+def test_bpe_train_encode_roundtrip(ray_session):
+    """Merges trained by bpe_train plug straight into bpe_encode and
+    reproduce the training loop's own segmentation."""
+    import ray.data as rd
+
+    from rex_ray.stages.textstats import bpe_encode, bpe_train
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "low low low lower lower"},
+            {"doc_id": 1, "text": "newest newest widest"},
+        ]
+    )
+    mt = bpe_train(docs, num_merges=4).to_pandas()
+    merges = list(zip(mt["a"], mt["b"]))
+    out = bpe_encode(docs, merges).to_pandas()
+    enc = dict(zip(out["word"], out["encoded"]))
+    # 'low' (freq 3+2 as prefix) drives the first merges
+    assert enc["low"].replace(" ", "") == "low"
+    assert len(enc["low"].split(" ")) < 3  # at least one merge applied
+    # every word re-joins to itself (merging never loses chars)
+    assert all(e.replace(" ", "") == w for w, e in enc.items())
     """Tier cuts are the exact 1/3 and 2/3 order statistics; ties on
     the cut value all land in the lower tier; tier sizes ~ n/3."""
     import ray
