@@ -593,6 +593,17 @@ def q_ta_corpus_sample(sf_dir: str):
     )
 
 
+def q_ta_dup_ngrams(sf_dir: str):
+    """Cross-doc duplicated-trigram counts per doc (the Gopher/Dolma
+    boilerplate signal): one slim count shuffle + a singleton-pruned
+    worker-built broadcast + one streaming probe pass."""
+    from rex_ray.stages.textstats import cross_doc_dup_ngrams
+
+    return cross_doc_dup_ngrams(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=3
+    )
+
+
 def q_ta_tfidf(sf_dir: str):
     """Distributed TF-IDF per (doc_id, token): one slim doc-token
     shuffle for tf, a vocabulary-sized broadcast for df (no second
@@ -1563,6 +1574,23 @@ def _bpe_encode_sql() -> str:
 
 EXT_SQL["ta_bpe_encode"] = _bpe_encode_sql()
 
+EXT_SQL["ta_dup_ngrams"] = """
+WITH g AS (
+    SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3] AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         LATERAL (SELECT unnest(range(len(ts) - 2)) AS i)
+    WHERE len(ts) >= 3
+),
+dg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+cg AS (SELECT gram, sum(c) AS tot FROM dg GROUP BY 1)
+SELECT dg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN cg.tot > dg.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup
+FROM dg JOIN cg USING (gram)
+GROUP BY dg.doc_id
+"""
+
 EXT_SQL["ta_corpus_sample"] = """
 SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
 FROM documents
@@ -2032,6 +2060,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_bpe_encode": q_ta_bpe_encode,
     "ta_corpus_sample": q_ta_corpus_sample,
+    "ta_dup_ngrams": q_ta_dup_ngrams,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,

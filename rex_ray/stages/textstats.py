@@ -402,6 +402,123 @@ def repetition_stats(docs_ds, ns=(2, 3)):
     return docs_ds.map_batches(per_batch, batch_format="pandas")
 
 
+def cross_doc_dup_ngrams(docs_ds, n: int = 3):
+    """Cross-document duplicated-n-gram signal (the Gopher/Dolma rule
+    family's CROSS-doc sibling of :func:`repetition_stats`; CCNet §4.1
+    measures the same overlap to drop boilerplate): per doc, how many
+    of its DISTINCT n-grams also occur outside the doc
+    (corpus_count > within-doc count).  All int64 — consumers divide
+    for the fraction; the oracle agrees exactly.
+
+    Dataflow (the tf_idf / LM-model idiom): one slim (gram, count)
+    partial shuffle builds corpus totals; grams with corpus count
+    >= 2 become ONE worker-built broadcast (sorted md5-64 + counts —
+    singleton grams, the Zipf tail and the bulk of the vocabulary,
+    are pruned map-side since they can never be duplicated); then one
+    streaming probe pass scores every doc.  No joins, no second
+    corpus shuffle.  Output: (doc_id, n_distinct, n_dup) for docs
+    with >= 1 n-gram.
+    """
+    from ray.data.aggregate import Sum
+
+    from rex_ray.functions import hashing as H
+    from rex_ray.stages.dedup import _side_object, _worker_built_ref
+
+    _P = pa.schema([("g", pa.string()), ("c", pa.int64())])
+
+    def batch_grams(texts):
+        grams: list = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            k = max(len(toks) - n + 1, 0)
+            counts[i] = k
+            grams.extend(" ".join(toks[j: j + n]) for j in range(k))
+        return grams, counts
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        grams, _ = batch_grams(list(batch["text"]))
+        if not grams:
+            return _P.empty_table()
+        s = pd.Series(grams, dtype=object).value_counts()
+        return arrow_block(
+            s.rename("c").rename_axis("g").reset_index(), schema=_P
+        )
+
+    totals = (
+        pre_shuffle(docs_ds.map_batches(partial, batch_format="pandas"))
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr="c >= 2")  # singletons can never be duplicated
+    )
+
+    def build(tables):
+        gs: list = []
+        cs: list = []
+        for t in tables:
+            if t.num_rows and "g" in t.schema.names:
+                gs.extend(t["g"].to_pylist())
+                cs.append(t["c"].to_numpy(zero_copy_only=False))
+        if not gs:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64))
+        hv = H.md5_hash64_batch(gs)
+        c = np.concatenate(cs).astype(np.int64)
+        o = np.argsort(hv)
+        return (hv[o], c[o])
+
+    tot_ref = _worker_built_ref(totals, build)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_distinct", pa.int64()),
+         ("n_dup", pa.int64())]
+    )
+
+    def score(batch: pd.DataFrame, _ref=tot_ref) -> pa.Table:
+        hs, cs = _side_object(_ref)
+        texts = list(batch["text"])
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        grams, counts = batch_grams(texts)
+        if not grams:
+            return out_schema.empty_table()
+        hv = H.md5_hash64_batch(grams)
+        parent = np.repeat(np.arange(len(texts)), counts)
+        order = np.lexsort((hv, parent))
+        p, h = parent[order], hv[order]
+        new_run = np.empty(len(p), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(p)))  # within-doc count
+        run_doc = p[starts]
+        run_h = h[starts]
+        # corpus totals via searchsorted probe; absent -> singleton
+        if len(hs):
+            idx = np.searchsorted(hs, run_h)
+            idx = np.minimum(idx, len(hs) - 1)
+            hit = hs[idx] == run_h
+            corpus = np.where(hit, cs[idx], 0)
+        else:
+            corpus = np.zeros(len(run_h), dtype=np.int64)
+        dup = corpus > run_len
+        n_distinct = np.bincount(run_doc, minlength=len(texts))
+        n_dup = np.bincount(
+            run_doc, weights=dup.astype(np.float64), minlength=len(texts)
+        ).astype(np.int64)
+        sel = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_distinct": pa.array(
+                    n_distinct[sel].astype(np.int64), pa.int64()
+                ),
+                "n_dup": pa.array(n_dup[sel], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
 # Default PII-shaped scrub patterns (email / phone / IPv4).  The
 # synthetic corpus contains none of these; the ta_redact query uses
 # patterns that do fire there so the dataflow is exercised end to end.

@@ -824,6 +824,39 @@ def test_bpe_encode_matches_sql_replace_on_adversarial_words(ray_session):
     assert by_word["ordword"] == "ord w ord"
 
 
+def test_cross_doc_dup_ngrams_hand_computed(ray_session):
+    """n=2: doc 0 'a b c', doc 1 'a b d', doc 2 'a b a b'.
+    Corpus bigram counts: 'a b' 4 (docs 0,1 + 2x in doc 2), 'b c' 1,
+    'b d' 1, 'b a' 1.  Dup = corpus > within-doc count.  Partition
+    count must not change the result (broadcast built from partials)."""
+    import ray.data as rd
+
+    from rex_ray.stages.textstats import cross_doc_dup_ngrams
+
+    rows = [
+        {"doc_id": 0, "text": "a b c"},
+        {"doc_id": 1, "text": "a b d"},
+        {"doc_id": 2, "text": "a b a b"},
+        {"doc_id": 3, "text": "x"},  # no bigram -> omitted
+    ]
+
+    def run(parts):
+        return (
+            cross_doc_dup_ngrams(
+                rd.from_items(rows).repartition(parts), n=2
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    out = run(1)
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_distinct"].tolist() == [2, 2, 2]  # {ab,bc} {ab,bd} {ab,ba}
+    # 'a b': corpus 4 > doc counts 1/1/2 -> dup everywhere; others not
+    assert out["n_dup"].tolist() == [1, 1, 1]
+    pd.testing.assert_frame_equal(out, run(3))
+
+
 def test_bpe_train_encode_roundtrip(ray_session):
     """Merges trained by bpe_train plug straight into bpe_encode and
     reproduce the training loop's own segmentation."""
