@@ -158,6 +158,36 @@ def q_kg_canonical_map(sf_dir: str):
     )
 
 
+def q_kg_canonical_map_lp(sf_dir: str):
+    """The SAME canonical map computed by the DISTRIBUTED
+    label-propagation path (stages/canonical.canonical_labels_ds —
+    the route the cardinality guard takes above DRIVER_CC_MAX_NODES),
+    against the same recursive-CTE oracle as kg_canonical_map: the
+    scale path itself is driver-gate-checked, not just
+    equality-tested against the union-find twin."""
+    from rex_ray.pipelines import kg
+    from rex_ray.stages import canonical as canon
+
+    surfaces = kg.distinct_surfaces(_docs(sf_dir))
+    present = set(surfaces)
+    edges = [
+        (a, b)
+        for a, b in spec.VARIANT_EDGES
+        if a in present and b in present
+    ]
+    labels = canon.canonical_labels_ds(sorted(present), edges)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "surface": df["node"],
+                "canonical_id": spec.ENTITY_ID_PREFIX + df["canonical"],
+            }
+        )
+
+    return labels.map_batches(fmt, batch_format="pandas")
+
+
 def q_kg_triple_store(sf_dir: str):
     from rex_ray.pipelines import kg
 
@@ -1407,6 +1437,7 @@ WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()}
 SELECT surface, canonical_id FROM canon
 """
+_SQL["kg_canonical_map_lp"] = _SQL["kg_canonical_map"]
 
 _TRIPLE_STORE_SQL = f"""
 WITH RECURSIVE {_kg_ctes()},
@@ -1919,6 +1950,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_disambiguated_mentions": q_kg_disambiguated_mentions,
     "kg_globalpointer_scored": q_kg_globalpointer_scored,
     "kg_globalpointer_rule": q_kg_globalpointer_rule,
+    "kg_canonical_map_lp": q_kg_canonical_map_lp,
     "kg_ingest_ipre": q_kg_ingest_ipre,
     "kg_ingest_webnlg": q_kg_ingest_webnlg,
     "kg_ingest_bmes": q_kg_ingest_bmes,
