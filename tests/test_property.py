@@ -323,3 +323,101 @@ def test_micronat_terms_order_independent(counts):
     full = _micronat_terms(hv, hu, model)
     perm = np.random.default_rng(0).permutation(len(grams))
     assert (_micronat_terms(hv[perm], hu[perm], model) == full[perm]).all()
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: list-merge semantics vs the oracle's boundary-replace,
+# rejoin invariant
+# ---------------------------------------------------------------------------
+
+@st.composite
+def bpe_cases(draw):
+    alpha = "abco"
+    word = draw(st.text(alphabet=alpha, min_size=0, max_size=12))
+    n_merges = draw(st.integers(1, 5))
+    merges, vocab = [], list(alpha)
+    for _ in range(n_merges):
+        a = draw(st.sampled_from(vocab))
+        b = draw(st.sampled_from(vocab))
+        merges.append((a, b))
+        if a + b not in vocab:
+            vocab.append(a + b)
+    return word, merges
+
+
+def _list_merge(word, merges):
+    toks = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+@given(bpe_cases())
+@settings(max_examples=150, deadline=None)
+def test_bpe_boundary_replace_equals_list_merge(case):
+    """The SQL oracle's doubled-boundary string replace is the same
+    function as the token-list merge loop, for ANY merge list —
+    including a==b self-merges, chained merges and overlap runs."""
+    word, merges = case
+    toks = _list_merge(word, merges)
+
+    s = "||" + "".join(c + "||" for c in word)
+    for a, b in merges:
+        s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    got = [t for t in s.replace("||", " ").strip().split(" ") if t] \
+        if word else []
+    assert got == toks
+    # merging never loses or reorders characters
+    assert "".join(toks) == word
+
+
+# ---------------------------------------------------------------------------
+# BMES render -> parse -> decode round trip
+# ---------------------------------------------------------------------------
+
+@st.composite
+def typed_tokens(draw):
+    n = draw(st.integers(0, 12))
+    types = [draw(st.sampled_from(["", "X", "Y"])) for _ in range(n)]
+    toks = [f"t{i}" for i in range(n)]
+    return toks, types
+
+
+@given(typed_tokens())
+@settings(max_examples=150, deadline=None)
+def test_bmes_render_decode_recovers_runs(case):
+    """render_bmes_tags -> parse_bmes_lines -> get_entities_from_tags
+    recovers exactly the maximal same-type runs."""
+    from rex_ray.functions.tagging import get_entities_from_tags
+    from rex_ray.sources.ingest import parse_bmes_lines, render_bmes_tags
+
+    toks, types = case
+    tags = render_bmes_tags(toks, types)
+    lines = [f"{t} {g}" for t, g in zip(toks, tags)] + [""]
+    docs = parse_bmes_lines(lines, shard="p")
+    ents = []
+    for d in docs:
+        ents += get_entities_from_tags(d["tokens"], d["ner_tags"], join=" ")
+
+    want = []
+    i = 0
+    while i < len(toks):
+        if types[i]:
+            j = i
+            while j + 1 < len(toks) and types[j + 1] == types[i]:
+                j += 1
+            want.append(
+                (" ".join(toks[i: j + 1]), types[i], (i, j + 1))
+            )
+            i = j + 1
+        else:
+            i += 1
+    assert ents == want
