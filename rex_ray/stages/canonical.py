@@ -90,6 +90,12 @@ def cc_label_propagation(nodes_ds, edges_ds, max_iter: int = 20):
         batch_format="pandas",
     ).materialize()
 
+    # no edges -> every node is its own component; the join below
+    # would also lose the empty edge table's schema (Ray 2.49) and
+    # abort, so short-circuit the exact answer
+    if both.count() == 0:
+        return labels
+
     for _ in range(max_iter):
         # label of src flows to dst
         # compact both join inputs: labels is a groupby output after

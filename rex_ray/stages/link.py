@@ -198,6 +198,18 @@ def link_triples_via_join(triples_ds, map_ds, nil_prefix: str = "nil:",
 
     nparts = num_partitions or default_join_partitions()
 
+    # degenerate empty map: every surface is NIL; the left_outer join
+    # below would lose the empty right side's schema (Ray 2.49) and
+    # abort, so compute the exact answer map-side
+    if map_ds.count() == 0:
+        def all_nil(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(
+                subj_id=nil_prefix + b["subj"].astype(str),
+                obj_id=nil_prefix + b["obj"].astype(str),
+            )
+
+        return triples_ds.map_batches(all_nil, batch_format="pandas")
+
     def renamed(side: str, id_col: str):
         return map_ds.map_batches(
             lambda b, s=side, i=id_col: arrow_block(

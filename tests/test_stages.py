@@ -120,6 +120,43 @@ def test_canonical_map_cardinality_guard_routes_distributed(ray_session):
     assert dist["s001"] == "ent:s000" and dist["s002"] == "ent:s000"
 
 
+def test_cc_label_propagation_zero_edges(ray_session):
+    """A corpus where NO variant edges survive the presence filter:
+    every node is its own component (regression: the empty edge table
+    lost its schema inside the join and aborted with ArrowInvalid)."""
+    labels = canonical.canonical_labels_ds(["a", "b", "c"], [])
+    got = {
+        r["node"]: r["canonical"]
+        for r in labels.to_pandas().to_dict("records")
+    }
+    assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_link_triples_via_join_empty_map_all_nil(ray_session):
+    """Empty canonical map: every surface links NIL (regression: the
+    empty right join side lost its schema and aborted)."""
+    import ray.data as rd
+
+    from rex_ray.stages import link as L
+
+    tri = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1], "subj": ["x"], "pred": ["p"],
+             "obj": ["y"], "score": [0.5]}
+        )
+    )
+    empty_map = rd.from_pandas(
+        pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "canonical": pd.Series([], dtype=str)}
+        )
+    )
+    out = L.link_triples_via_join(tri, empty_map).to_pandas()
+    assert out[["subj_id", "obj_id"]].values.tolist() == [
+        ["nil:x", "nil:y"]
+    ]
+
+
 def test_link_triples_via_join_matches_broadcast(ray_session):
     """The distributed-join linker (map too big to broadcast) is
     byte-identical to the broadcast-dict linker, NIL fills included."""
