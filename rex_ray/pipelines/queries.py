@@ -744,6 +744,18 @@ def q_kg_bag_att(sf_dir: str):
     return scorer.bag_scores_att(scorer.score_docs(_docs(sf_dir)))
 
 
+def q_kg_pcnn_rule(sf_dir: str):
+    """The PCNN dataflow (token + 2 relative-position channels ->
+    width-3 conv -> piecewise segment max-pool -> per-relation dense)
+    under the integer-exact spec.PCNN_RULE parameterization — upgrades
+    the flagship scorer's STRUCTURE from rows-only to oracle-checked
+    (conv via LAG/LEAD window functions in the SQL); kg_scored_triples
+    keeps the seeded float forward."""
+    from rex_ray.stages import scorer
+
+    return scorer.score_pcnn_rule(_docs(sf_dir))
+
+
 def q_kg_bag_one_rule(sf_dir: str):
     """The bag-ONE reduce (per-relation max, argmax label) over
     deterministic integer member scores — upgrades the reduce operator
@@ -1302,6 +1314,7 @@ QUALIFY row_number() OVER (
 """
 
 _SQL["kg_globalpointer_rule"] = spec.sql_gp_rule()
+_SQL["kg_pcnn_rule"] = spec.sql_pcnn_rule()
 
 # id2rel rule shared with _IPRE_ID2REL: 'rel_' || chr(97 + id)
 _SQL["kg_ingest_ipre"] = """
@@ -1941,6 +1954,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_scored_triples_bilstm": q_kg_scored_triples_bilstm,
     "kg_bag_one": q_kg_bag_one,
     "kg_bag_att": q_kg_bag_att,
+    "kg_pcnn_rule": q_kg_pcnn_rule,
     "kg_bag_one_rule": q_kg_bag_one_rule,
     "kg_bag_att_rule": q_kg_bag_att_rule,
     "kg_ner_roundtrip": q_kg_ner_roundtrip,

@@ -182,6 +182,36 @@ BPE_ENCODE_MERGES: List[Tuple[str, str]] = [
     ("s", "c"), ("a", "n"),
 ]
 
+# ---------------------------------------------------------------------------
+# PCNN integer-rule twin (query kg_pcnn_rule): the REAL PCNN dataflow
+# (token+2 relative-position channels -> width-3 same-padding conv ->
+# piecewise max-pool over the 3 pmask segments -> dense per relation)
+# under an integer-exact parameterization, so the convolution +
+# piecewise pooling + dense matrix — the flagship scorer's structure —
+# is DuckDB-checkable end to end (the kg_bag_*_rule / GP_RULE pattern
+# extended to the conv stage).  Contract differences from the float
+# scorer, by design: no tanh / sigmoid (monotone pointwise maps; the
+# rule emits raw integer logits), dims 2/2/2, window L = 16.
+#   * emb(token)[k]   = (md5(token) hex byte k) % 9 - 4   (GP rule;
+#     padding positions use the vocab pad token '[PAD]')
+#   * pos_subj[r][k]  = (r * PS_A[k] + PS_B[k]) % 9 - 4
+#   * pos_obj[r][k]   = (r * PO_A[k] + PO_B[k]) % 9 - 4
+#   * dense[rel][k]   = (md5(rel) hex byte k) % 9 - 4, bias byte 6
+# ---------------------------------------------------------------------------
+
+PCNN_RULE_MAX_LEN = 16
+PCNN_RULE_PS_A = (3, 5)
+PCNN_RULE_PS_B = (1, 7)
+PCNN_RULE_PO_A = (2, 7)
+PCNN_RULE_PO_B = (4, 2)
+# (n_filters=2) x (taps: left, center, right) x (channels: e0 e1 ps0
+# ps1 po0 po1)
+PCNN_RULE_CONV_W: List[List[List[int]]] = [
+    [[1, -2, 0, 2, -1, 1], [2, 1, -1, 0, 1, -2], [0, 1, 2, -1, -2, 1]],
+    [[-1, 0, 2, 1, 1, -2], [1, -1, 0, 2, -2, 1], [2, 1, -1, -2, 0, 1]],
+]
+PCNN_RULE_CONV_B = (1, -1)
+
 
 # ---------------------------------------------------------------------------
 # SQL fragment renderers (DuckDB dialect) — used by the oracle queries.
@@ -235,6 +265,143 @@ SQL_MENTIONS = f"""
 
 def sql_mentions() -> str:
     return SQL_MENTIONS.format(gaz=sql_gazetteer_values())
+
+
+def md5_int(s: str, k: int, mod: int = 9) -> int:
+    """Hex byte ``k`` of md5(s), mapped to [-mod//2, mod//2] — the
+    shared integer-rule derivation for token embeddings (GP_RULE,
+    PCNN rule) and per-relation dense weights."""
+    import hashlib
+
+    return int(
+        hashlib.md5(s.encode()).hexdigest()[2 * k: 2 * k + 2], 16
+    ) % mod - mod // 2
+
+
+def pcnn_rule_rels() -> List[str]:
+    return sorted(set(PRED_MAP.values()) | {PRED_FALLBACK})
+
+
+def sql_pcnn_rule() -> str:
+    """Oracle for kg_pcnn_rule: pair fan-out -> per-position channel
+    values (md5 token embedding + linear-rule position embeddings) ->
+    width-3 conv via LAG/LEAD window functions -> piecewise segment
+    max -> per-relation dense, all integer — rendered from the same
+    PCNN_RULE_* literals the Ray stage consumes."""
+    L = PCNN_RULE_MAX_LEN
+    W, B = PCNN_RULE_CONV_W, PCNN_RULE_CONV_B
+
+    def mbyte(expr: str, k: int) -> str:
+        return (
+            f"(('0x' || substr(md5({expr}), {2 * k + 1}, 2))::BIGINT"
+            f" % 9 - 4)"
+        )
+
+    xs = [
+        mbyte("tok", 0),
+        mbyte("tok", 1),
+        f"((rs * {PCNN_RULE_PS_A[0]} + {PCNN_RULE_PS_B[0]}) % 9 - 4)",
+        f"((rs * {PCNN_RULE_PS_A[1]} + {PCNN_RULE_PS_B[1]}) % 9 - 4)",
+        f"((ro * {PCNN_RULE_PO_A[0]} + {PCNN_RULE_PO_B[0]}) % 9 - 4)",
+        f"((ro * {PCNN_RULE_PO_A[1]} + {PCNN_RULE_PO_B[1]}) % 9 - 4)",
+    ]
+    x_cols = ",\n           ".join(
+        f"{e} AS x{c}" for c, e in enumerate(xs)
+    )
+    lag_cols = ",\n           ".join(
+        f"LAG(x{c}) OVER w AS lx{c}, LEAD(x{c}) OVER w AS nx{c}"
+        for c in range(6)
+    )
+
+    def conv_expr(f: int) -> str:
+        center = " + ".join(f"x{c}*({W[f][1][c]})" for c in range(6))
+        left = " + ".join(
+            f"COALESCE(lx{c}, 0)*({W[f][0][c]})" for c in range(6)
+        )
+        right = " + ".join(
+            f"COALESCE(nx{c}, 0)*({W[f][2][c]})" for c in range(6)
+        )
+        return f"{center} + {left} + {right} + ({B[f]})"
+
+    pooled_cols = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN seg = {seg} THEN c{f} END), 0)"
+        f" AS p{(seg - 1) * 2 + f}"
+        for seg in (1, 2, 3)
+        for f in (0, 1)
+    )
+    dense_rows = ",\n          ".join(
+        "('{r}', {expr} + ({b}))".format(
+            r=r,
+            expr=" + ".join(
+                f"p{j}*({md5_int(r, j)})" for j in range(6)
+            ),
+            b=md5_int(r, 6),
+        )
+        for r in pcnn_rule_rels()
+    )
+
+    return f"""
+WITH tok AS ({SQL_TOKENS}),
+mention AS (
+    SELECT t.doc_id, t.pos, t.tok AS surface, gaz.ent_type
+    FROM tok t JOIN {sql_gazetteer_values()} ON t.tok = gaz.surface
+),
+pairs AS (
+    SELECT h.doc_id, h.pos AS subj_pos, t.pos AS obj_pos
+    FROM mention h
+    JOIN mention t
+      ON h.doc_id = t.doc_id
+     AND t.pos - h.pos BETWEEN 1 AND {PAIR_WINDOW}
+    WHERE h.pos < {L} AND t.pos < {L}
+),
+doclen AS (
+    SELECT doc_id, string_split(text, ' ') AS ts,
+           LEAST(len(string_split(text, ' ')), {L}) AS n_real
+    FROM documents
+),
+posrows AS (
+    SELECT p.doc_id, p.subj_pos, p.obj_pos, i AS t,
+           CASE WHEN i < d.n_real THEN d.ts[i + 1]
+                ELSE '[PAD]' END AS tok,
+           abs(i - p.subj_pos) AS rs, abs(i - p.obj_pos) AS ro,
+           CASE WHEN i >= d.n_real THEN 0
+                WHEN i < LEAST(p.subj_pos, p.obj_pos) THEN 1
+                WHEN i < GREATEST(p.subj_pos, p.obj_pos) THEN 2
+                ELSE 3 END AS seg
+    FROM pairs p JOIN doclen d ON p.doc_id = d.doc_id,
+         LATERAL (SELECT unnest(range({L})) AS i)
+),
+xch AS (
+    SELECT doc_id, subj_pos, obj_pos, t, seg,
+           {x_cols}
+    FROM posrows
+),
+lagged AS (
+    SELECT *,
+           {lag_cols}
+    FROM xch
+    WINDOW w AS (PARTITION BY doc_id, subj_pos, obj_pos ORDER BY t)
+),
+conv AS (
+    SELECT doc_id, subj_pos, obj_pos, seg,
+           {conv_expr(0)} AS c0,
+           {conv_expr(1)} AS c1
+    FROM lagged
+),
+pooled AS (
+    SELECT doc_id, subj_pos, obj_pos,
+           {pooled_cols}
+    FROM conv GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(subj_pos AS BIGINT) AS subj_pos,
+       CAST(obj_pos AS BIGINT) AS obj_pos,
+       label,
+       CAST(score AS BIGINT) AS score
+FROM pooled,
+     LATERAL (VALUES
+          {dense_rows}) AS l(label, score)
+"""
 
 
 def sql_bpe_encode() -> str:

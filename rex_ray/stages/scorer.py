@@ -480,3 +480,136 @@ def bag_scores_att(scored_ds, n_rels: Optional[int] = None,
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PCNN integer-rule twin (spec.PCNN_RULE_*): the same conv + piecewise
+# pooling + dense dataflow, oracle-checked end to end
+# ---------------------------------------------------------------------------
+
+class PcnnRuleWeights:
+    """Integer-exact PCNN parameter set from the spec literals: token
+    embeddings are a pure md5 function of the token STRING (so the
+    DuckDB oracle recomputes them from the text), position tables a
+    linear residue rule, conv weights literals, dense weights an md5
+    function of the relation NAME.  All values in [-4, 4]; every
+    intermediate stays an exact integer in float64."""
+
+    def __init__(self, vocab, max_seq_len: int = None):
+        from rex_ray.pipelines import spec
+
+        L = max_seq_len or spec.PCNN_RULE_MAX_LEN
+        emb = np.empty((len(vocab), 2), dtype=np.float64)
+        for i, tok in enumerate(vocab.id2token):
+            emb[i, 0] = spec.md5_int(tok, 0)
+            emb[i, 1] = spec.md5_int(tok, 1)
+        self.emb = emb
+        r = np.arange(L + 1, dtype=np.int64)[:, None]
+        pa_, pb_ = spec.PCNN_RULE_PS_A, spec.PCNN_RULE_PS_B
+        self.pos_subj = ((r * np.asarray(pa_) + np.asarray(pb_)) % 9 - 4
+                         ).astype(np.float64)
+        oa_, ob_ = spec.PCNN_RULE_PO_A, spec.PCNN_RULE_PO_B
+        self.pos_obj = ((r * np.asarray(oa_) + np.asarray(ob_)) % 9 - 4
+                        ).astype(np.float64)
+        self.conv_w = np.asarray(spec.PCNN_RULE_CONV_W, dtype=np.float64)
+        self.conv_b = np.asarray(spec.PCNN_RULE_CONV_B, dtype=np.float64)
+        self.rels = spec.pcnn_rule_rels()
+        self.dense_w = np.asarray(
+            [[spec.md5_int(rl, j) for rl in self.rels] for j in range(6)],
+            dtype=np.float64,
+        )  # (6, n_rels)
+        self.dense_b = np.asarray(
+            [spec.md5_int(rl, 6) for rl in self.rels], dtype=np.float64
+        )
+
+
+class PcnnRuleScorer:
+    """Feature-row batches -> one integer-logit row per (pair, rel):
+    (doc_id, subj_pos, obj_pos, label, score).  Same shifted-GEMM conv
+    and segment pooling as :class:`PcnnScorer`; no tanh / sigmoid
+    (monotone pointwise maps dropped by the rule contract, like the
+    GP twin's /sqrt)."""
+
+    def __init__(self, weights_ref):
+        self.w: PcnnRuleWeights = (
+            ray.get(weights_ref)
+            if isinstance(weights_ref, ray.ObjectRef)
+            else weights_ref
+        )
+
+    def _forward(self, ids, rel_s, rel_o, pmask) -> np.ndarray:
+        w = self.w
+        x = np.concatenate(
+            [w.emb[ids], w.pos_subj[rel_s], w.pos_obj[rel_o]], axis=2
+        )  # (n, L, 6) float64, exact integers
+        conv = x @ w.conv_w[:, 1, :].T
+        conv[:, 1:, :] += x[:, :-1, :] @ w.conv_w[:, 0, :].T
+        conv[:, :-1, :] += x[:, 1:, :] @ w.conv_w[:, 2, :].T
+        conv += w.conv_b
+        pooled = []
+        for seg in (1, 2, 3):
+            m = (pmask == seg)[:, :, None]
+            seg_vals = np.where(m, conv, -np.inf)
+            mx = seg_vals.max(axis=1)
+            pooled.append(np.where(np.isfinite(mx), mx, 0.0))
+        rep = np.concatenate(pooled, axis=1)  # (n, 6) — NO tanh
+        return rep @ w.dense_w + w.dense_b    # (n, n_rels) int-exact
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = matrix_from_column(batch, "token_ids")
+        rel_s = matrix_from_column(batch, "rel_pos_subj")
+        rel_o = matrix_from_column(batch, "rel_pos_obj")
+        pmask = matrix_from_column(batch, "pmask")
+        logits = self._forward(ids, rel_s, rel_o, pmask)
+        n, n_rels = logits.shape
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sp = batch["subj_pos"].to_numpy(zero_copy_only=False)
+        op = batch["obj_pos"].to_numpy(zero_copy_only=False)
+        rels = np.asarray(self.w.rels, dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_id, n_rels)),
+                "subj_pos": pa.array(
+                    np.repeat(sp, n_rels).astype(np.int64), pa.int64()
+                ),
+                "obj_pos": pa.array(
+                    np.repeat(op, n_rels).astype(np.int64), pa.int64()
+                ),
+                "label": pa.array(
+                    np.tile(rels, n), pa.string()
+                ),
+                "score": pa.array(
+                    logits.reshape(-1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def score_pcnn_rule(docs_ds, vocab=None, **kwargs):
+    """documents -> per-(pair, relation) integer PCNN-rule logits —
+    the oracle-checked twin of :func:`score_docs` (query
+    kg_pcnn_rule).  Window L = spec.PCNN_RULE_MAX_LEN."""
+    from rex_ray.pipelines import spec
+    from rex_ray.stages.features import PairFeaturizer, build_corpus_vocab
+
+    if vocab is None:
+        vocab = build_corpus_vocab(docs_ds)
+    vref = ray.put(vocab)
+    wref = ray.put(
+        PcnnRuleWeights(vocab, max_seq_len=spec.PCNN_RULE_MAX_LEN)
+    )
+    feats = docs_ds.map_batches(
+        PairFeaturizer,
+        fn_constructor_kwargs={
+            "vocab_ref": vref, "max_seq_len": spec.PCNN_RULE_MAX_LEN,
+        },
+        batch_format="pandas",
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
+    )
+    return feats.map_batches(
+        PcnnRuleScorer,
+        fn_constructor_kwargs={"weights_ref": wref},
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+        **kwargs,
+    )

@@ -102,3 +102,64 @@ def test_piecewise_pool_segments_affect_output():
     out1 = sc._forward(ids[:1], rel_s[:1], rel_o[:1], pm1)
     out2 = sc._forward(ids[:1], rel_s[:1], rel_o[:1], pm2)
     assert not np.allclose(out1, out2)
+
+
+def test_pcnn_rule_matches_straightline_reimplementation(ray_session):
+    """The PcnnRuleScorer forward (shifted-GEMM conv, segment pooling,
+    md5 dense) equals an independent loop-based recompute per (pair,
+    rel) on a doc with gazetteer pairs, truncation and padding."""
+    import numpy as np
+    import ray.data as rd
+
+    from rex_ray.pipelines import spec
+    from rex_ray.stages.scorer import score_pcnn_rule
+
+    text = "spark join table row sort order " * 4  # 24 tokens > L=16
+    docs = rd.from_items([{"doc_id": 5, "text": text.strip()}])
+    out = score_pcnn_rule(docs).to_pandas()
+    assert (out["score"] == out["score"].round()).all()
+
+    L = spec.PCNN_RULE_MAX_LEN
+    toks = text.strip().split(" ")
+    n_real = min(len(toks), L)
+
+    def emb(tok):
+        return [spec.md5_int(tok, 0), spec.md5_int(tok, 1)]
+
+    def x_at(t, sp, op):
+        tok = toks[t] if t < n_real else "[PAD]"
+        rs, ro = abs(t - sp), abs(t - op)
+        return emb(tok) + [
+            (rs * spec.PCNN_RULE_PS_A[k] + spec.PCNN_RULE_PS_B[k]) % 9 - 4
+            for k in range(2)
+        ] + [
+            (ro * spec.PCNN_RULE_PO_A[k] + spec.PCNN_RULE_PO_B[k]) % 9 - 4
+            for k in range(2)
+        ]
+
+    W, B = spec.PCNN_RULE_CONV_W, spec.PCNN_RULE_CONV_B
+
+    def conv_at(t, f, sp, op):
+        total = B[f]
+        for tap, tt in ((0, t - 1), (1, t), (2, t + 1)):
+            if 0 <= tt < L:
+                x = x_at(tt, sp, op)
+                total += sum(x[c] * W[f][tap][c] for c in range(6))
+        return total
+
+    def logit(sp, op, rel):
+        lo, hi = min(sp, op), max(sp, op)
+        pooled = []
+        for seg_lo, seg_hi in ((0, lo), (lo, hi), (hi, n_real)):
+            for f in range(2):
+                vals = [
+                    conv_at(t, f, sp, op) for t in range(seg_lo, seg_hi)
+                ]
+                pooled.append(max(vals) if vals else 0)
+        return sum(
+            pooled[j] * spec.md5_int(rel, j) for j in range(6)
+        ) + spec.md5_int(rel, 6)
+
+    for _, r in out.sample(40, random_state=0).iterrows():
+        want = logit(int(r["subj_pos"]), int(r["obj_pos"]), r["label"])
+        assert int(r["score"]) == want, (r["subj_pos"], r["obj_pos"], r["label"])
