@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "kg_globalpointer_rule",         # integer-exact biaffine einsum
     "kg_ingest_webnlg",              # ingest join + id remap + indexing
     "kg_ingest_bmes",                # BMES render/parse/decode roundtrip
+    "kg_pcnn_rule",                  # integer conv+pool+dense twin
+    "ta_dup_ngrams",                 # cross-doc duplicated-gram probe
 ]
 HEADLINE = "kg_triple_store_interleaved"
 
