@@ -730,6 +730,24 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+LSH_PLANES = 4
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN (sign random projections): candidates
+    restricted to the query's bucket — approximate but fully
+    deterministic (±1 planes from an md5 rule, left-fold sign sums),
+    so the oracle reproduces it exactly."""
+    from rex_ray.stages.similarity import lsh_topk
+
+    return lsh_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        query_ids=range(ANN_NUM_QUERIES),
+        k=ANN_K,
+        n_planes=LSH_PLANES,
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """Approximate IVF variant — recall < 1 by design (rows-only
     check; recall vs brute force asserted in tests)."""
@@ -1389,6 +1407,49 @@ SELECT query_id, neighbor_id,
 FROM sims
 QUALIFY rank <= {ANN_K}
 """
+
+def _lsh_sql() -> str:
+    from rex_ray.stages.similarity import lsh_planes
+
+    dim = 64  # embeddings.parquet vector width (FIXTURES.md)
+    S = lsh_planes(LSH_PLANES, dim)
+    bits = []
+    for p in range(LSH_PLANES):
+        terms = "".join(
+            (" + " if S[p, d] > 0 else " - ") + f"e[{d + 1}]"
+            for d in range(dim)
+        ).lstrip(" +")
+        if terms.startswith("- "):
+            terms = "-" + terms[2:]
+        bits.append(
+            f"CASE WHEN {terms} > 0 THEN {1 << (LSH_PLANES - 1 - p)}"
+            f" ELSE 0 END"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+b AS (
+    SELECT vec_id, e, {bucket} AS bucket FROM v
+),
+sims AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_cosine_similarity(q.e, n.e) AS sim
+    FROM b q
+    JOIN b n ON n.bucket = q.bucket AND n.vec_id != q.vec_id
+    WHERE q.vec_id < {ANN_NUM_QUERIES}
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {ANN_K}
+"""
+
+
+EXT_SQL["ann_lsh_topk"] = _lsh_sql()
 
 EXT_SQL["mm_frame_samples"] = """
 WITH stats AS (
@@ -2077,6 +2138,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_semantic_dups": q_dd_semantic_dups,
     "dd_split_leakage": q_dd_split_leakage,
     "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_ivf_exact": q_ann_ivf_exact,
     "ann_kmeans": q_ann_kmeans,

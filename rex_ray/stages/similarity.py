@@ -454,3 +454,120 @@ def ivf_topk_int(
     return pre_shuffle(partial).groupby("query_id").map_groups(
         merge, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (sign random projections)
+# ---------------------------------------------------------------------------
+
+def lsh_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes: sign of plane p, dim d = parity of
+    the first md5 hex digit of 'lsh|p|d' — a pure rule both engines
+    recompute (the SQL oracle inlines the signs)."""
+    import hashlib
+
+    S = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"lsh|{p}|{d}".encode()).hexdigest()
+            S[p, d] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+    return S
+
+
+def lsh_buckets(X: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """Bucket id per row: bit p set iff the signed LEFT-FOLD sum
+    Σ_d x_d * s_pd exceeds 0.  The fold order matters: the SQL oracle
+    evaluates the literal '± e[1] ± e[2] ...' expression left to
+    right in float64, so the accumulation here runs dim-sequentially
+    too (a BLAS dot may sum in a different order and flip a
+    borderline sign)."""
+    n_planes, dim = S.shape
+    X = X.astype(np.float64)
+    bucket = np.zeros(len(X), dtype=np.int64)
+    for p in range(n_planes):
+        acc = np.zeros(len(X), dtype=np.float64)
+        for d in range(dim):
+            acc += X[:, d] * S[p, d]
+        bucket |= (acc > 0).astype(np.int64) << (n_planes - 1 - p)
+    return bucket
+
+
+def lsh_topk(
+    emb_ds,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+):
+    """LSH-bucketed top-k cosine neighbors: candidates restricted to
+    the query's sign-random-projection bucket (Charikar STOC'02) —
+    the bucket key is the shuffle/partition key at scale, dropping
+    per-query search cost from O(n) to O(n / 2^planes) in expectation.
+    Same output contract as :func:`brute_force_topk` (query_id,
+    neighbor_id, rank; ties -> smaller id), but ranked WITHIN the
+    bucket — approximate by design, yet fully deterministic, so the
+    DuckDB oracle reproduces it exactly (query ann_lsh_topk)."""
+    qset = sorted(query_ids)
+    qdf = (
+        _filter_ids(emb_ds, id_col, qset).to_pandas().sort_values(id_col)
+    )
+    Qraw = np.stack(qdf["embedding"].to_numpy())
+    dim = Qraw.shape[1]
+    S = lsh_planes(n_planes, dim)
+    Q = _normalize(Qraw.astype(np.float64))
+    qb = lsh_buckets(Qraw, S)
+    qids = qdf[id_col].to_numpy()
+    ref = ray.put((qids, Q, qb, S))
+
+    class BucketTopK:
+        def __init__(self):
+            self.qids, self.Q, self.qb, self.S = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            Braw = np.stack(batch["embedding"].to_numpy())
+            B = _normalize(Braw.astype(np.float64))
+            bids = batch[id_col].to_numpy()
+            bb = lsh_buckets(Braw, self.S)
+            rows = []
+            sims = self.Q @ B.T
+            for qi, qid in enumerate(self.qids):
+                mask = (bb == self.qb[qi]) & (bids != qid)
+                if not mask.any():
+                    continue
+                cand_ids = bids[mask]
+                cand_s = sims[qi][mask]
+                take = min(k, len(cand_ids))
+                order = np.lexsort((cand_ids, -cand_s))[:take]
+                for j in order:
+                    rows.append(
+                        (int(qid), int(cand_ids[j]), float(cand_s[j]))
+                    )
+            return arrow_block(
+                pd.DataFrame(
+                    rows, columns=["query_id", "neighbor_id", "sim"]
+                ),
+                schema=_TOPK_PARTIAL_SCHEMA,
+            )
+
+    partial = emb_ds.map_batches(
+        BucketTopK, batch_format="pandas", concurrency=default_concurrency()
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        return arrow_block(
+            pd.DataFrame(
+                {
+                    "query_id": g["query_id"],
+                    "neighbor_id": g["neighbor_id"],
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
+        )
+
+    return pre_shuffle(partial).groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )

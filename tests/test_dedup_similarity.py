@@ -154,6 +154,53 @@ def test_ivf_recall_reasonable(emb_ds):
     assert recall >= 0.5  # nprobe/centroids = half the space probed
 
 
+def test_lsh_topk_bucket_contract_and_invariance(ray_session, emb_ds):
+    """LSH-bucketed ANN: every emitted neighbor shares its query's
+    sign-projection bucket; result invariant to partition count; with
+    0 planes (one bucket) it degrades to brute force exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from rex_ray.stages.similarity import (
+        brute_force_topk,
+        lsh_buckets,
+        lsh_planes,
+        lsh_topk,
+    )
+
+    out = lsh_topk(emb_ds, query_ids=range(10), k=5).to_pandas()
+    assert len(out) > 0
+    emb = emb_ds.to_pandas().set_index("vec_id")
+    S = lsh_planes(4, 64)
+    bid = {
+        int(v): int(b)
+        for v, b in zip(
+            emb.index,
+            lsh_buckets(np.stack(emb["embedding"].to_numpy()), S),
+        )
+    }
+    for q, n in zip(out["query_id"], out["neighbor_id"]):
+        assert bid[int(q)] == bid[int(n)]
+
+    # partition invariance
+    re = lsh_topk(
+        emb_ds.repartition(7), query_ids=range(10), k=5
+    ).to_pandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key, ignore_index=True),
+        re.sort_values(key, ignore_index=True),
+    )
+
+    # 0 planes = single bucket = brute force
+    zero = lsh_topk(emb_ds, query_ids=range(10), k=5, n_planes=0)
+    bf = brute_force_topk(emb_ds, query_ids=range(10), k=5)
+    pd.testing.assert_frame_equal(
+        zero.to_pandas().sort_values(key, ignore_index=True),
+        bf.to_pandas().sort_values(key, ignore_index=True),
+    )
+
+
 def test_media_feature_stub(ray_session):
     import ray.data as rd
     from rex_ray.sources import interleaved as il
