@@ -544,6 +544,18 @@ def q_ta_dsir_weights(sf_dir: str):
     )
 
 
+def q_ta_dsir_resample(sf_dir: str):
+    """DSIR end-to-end: importance weights -> exact-quantile cut ->
+    keep decision for the top third of the corpus (ties out)."""
+    from rex_ray.stages.textstats import dsir_resample
+
+    return dsir_resample(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        target_mod=DSIR_TARGET_MOD,
+        keep_fraction=1 / 3,
+    )
+
+
 def q_ta_bpe_pairs(sf_dir: str):
     """Adjacent char-pair frequencies (BPE training step 1) as a
     bounded-partial distributed count."""
@@ -1546,7 +1558,7 @@ SELECT m.doc_id, m.metric,
 FROM m, th
 """
 
-EXT_SQL["ta_dsir_weights"] = f"""
+_DSIR_CTES = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS x FROM d),
 big AS (SELECT doc_id, l[x] AS a, l[x + 1] AS b FROM pos),
@@ -1576,10 +1588,30 @@ terms AS (
     JOIN rbc USING (a, b)
     JOIN runi ON runi.tok = big.a
     CROSS JOIN tv CROSS JOIN rv
-)
+)"""
+
+EXT_SQL["ta_dsir_weights"] = _DSIR_CTES + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(term) AS BIGINT) AS weight_micronats
 FROM terms GROUP BY doc_id
+"""
+
+EXT_SQL["ta_dsir_resample"] = _DSIR_CTES + """,
+w AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS weight_micronats
+      FROM terms GROUP BY doc_id),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM w),
+ranked AS (
+    SELECT weight_micronats AS wm,
+           row_number() OVER (ORDER BY wm) AS rn
+    FROM w
+),
+th AS (
+    SELECT max(CASE WHEN rn = greatest(
+        1, CAST(ceil((2.0/3) * c) AS BIGINT)) THEN wm END) AS cut
+    FROM ranked, cnt
+)
+SELECT w.doc_id, w.weight_micronats, w.weight_micronats > th.cut AS keep
+FROM w, th
 """
 
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
@@ -2122,6 +2154,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_bpe_encode": q_ta_bpe_encode,
     "ta_corpus_sample": q_ta_corpus_sample,
     "ta_dup_ngrams": q_ta_dup_ngrams,
+    "ta_dsir_resample": q_ta_dsir_resample,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,

@@ -1162,6 +1162,54 @@ def dsir_weights(docs_ds, target_mod: int = 10, min_count: int = 1):
     return docs_ds.map_batches(score, batch_format="pandas")
 
 
+def dsir_resample(docs_ds, target_mod: int = 10,
+                  keep_fraction: float = 1 / 3):
+    """DSIR's SELECTION step (Xie et al. §3.2), closing the
+    weights -> resample loop: keep the top ``keep_fraction`` of the
+    corpus by importance weight.  Deterministic variant: the cut is
+    the exact ``(1 - keep_fraction)`` order statistic of
+    weight_micronats (3 bounded quantile passes, no sort) and a doc is
+    kept iff its weight is STRICTLY above the cut (ties OUT — the same
+    ties-low rule as :func:`ppl_tiers`), so both engines agree
+    bit-exactly; the paper's Gumbel-noise top-k is this cut with
+    per-doc noise keys added consumer-side.
+
+    Output: (doc_id, weight_micronats, keep) — the decision table a
+    curation pass consumes; docs with no bigrams are omitted (they
+    carry no weight).
+    """
+    from rex_ray.stages.quantiles import grouped_exact_quantiles
+
+    scored = dsir_weights(docs_ds, target_mod=target_mod)
+
+    def to_metric(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "weight_micronats": t["weight_micronats"].combine_chunks(),
+                "g": pa.array(["all"] * t.num_rows, pa.string()),
+            }
+        )
+
+    m = scored.map_batches(to_metric, batch_format="pyarrow").materialize()
+    qrows = grouped_exact_quantiles(
+        m, "g", "weight_micronats", ps=(1 - keep_fraction,)
+    ).take_all()
+    cut = int(qrows[0]["q"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        wm = t["weight_micronats"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "weight_micronats": t["weight_micronats"].combine_chunks(),
+                "keep": pa.array(wm > cut, pa.bool_()),
+            }
+        )
+
+    return m.map_batches(assign, batch_format="pyarrow")
+
+
 def ppl_tiers(docs_ds, min_count: int = 1):
     """CCNet's head/middle/tail corpus split (Wenzek et al., LREC'20,
     §4.3): rank every document by LM perplexity and cut the corpus at
