@@ -65,3 +65,42 @@ def test_parity_prf1_self(ray_session):
     }
     m = measure_triples(by_doc.values(), by_doc.values())
     assert m["triple"]["f1"] == 1.0
+
+
+def test_flagship_on_mention_free_corpus(ray_session):
+    """A corpus with NO gazetteer mentions flows through the whole
+    flagship (synthesize -> normalize -> extract -> canonicalize ->
+    link -> dedup) and yields an empty store — no empty-side join or
+    schema crash anywhere on the degenerate path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.pipelines import kg
+    from rex_ray.sources import interleaved as il
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["aa bb cc dd ee", "ff gg hh ii"]}
+        )
+    )
+    store = kg.triple_store_from_interleaved(il.synthesize_interleaved(docs))
+    assert store.count() == 0
+
+
+def test_graph_ops_on_empty_edge_set(ray_session):
+    """Graph operators are total on the empty graph (a mention-free
+    corpus produces an empty store; downstream analytics must not
+    crash)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages import graph as G
+
+    empty = rd.from_pandas(
+        pd.DataFrame(
+            {"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str)}
+        )
+    )
+    assert G.triangle_counts(empty).count() == 0
+    assert G.pagerank(empty).count() == 0
+    assert G.kcore_peel(empty).count() == 0
