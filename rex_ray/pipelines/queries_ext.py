@@ -434,6 +434,18 @@ def q_ta_doc_stats(sf_dir: str):
     )
 
 
+def q_ta_regex_tokens(sf_dir: str):
+    """Token counting under the BPE-ish pretokenizer regex (letter
+    runs / digit runs / single marks) — the tokenizer-eye token count
+    a training-data quota system budgets by; lookahead-free pattern so
+    Python re and DuckDB RE2 segment identically."""
+    from rex_ray.stages.textstats import regex_token_counts
+
+    return regex_token_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_ta_langid_confusion(sf_dir: str):
     from rex_ray.stages.textstats import langid_confusion
 
@@ -1684,6 +1696,34 @@ FROM dg JOIN cg USING (gram)
 GROUP BY dg.doc_id
 """
 
+EXT_SQL["ta_regex_tokens"] = r"""
+WITH m AS (
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')
+               AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id, unnest(toks) AS tok FROM m
+),
+c AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_regex_tokens,
+           CAST(sum(CASE WHEN substr(tok, 1, 1) BETWEEN 'a' AND 'z'
+                           OR substr(tok, 1, 1) BETWEEN 'A' AND 'Z'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+           CAST(sum(CASE WHEN substr(tok, 1, 1) BETWEEN '0' AND '9'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_num
+    FROM f GROUP BY doc_id
+)
+SELECT m.doc_id,
+       COALESCE(c.n_regex_tokens, 0) AS n_regex_tokens,
+       COALESCE(c.n_alpha, 0) AS n_alpha,
+       COALESCE(c.n_num, 0) AS n_num,
+       COALESCE(c.n_regex_tokens - c.n_alpha - c.n_num, 0) AS n_other
+FROM m LEFT JOIN c USING (doc_id)
+"""
+
 EXT_SQL["ta_corpus_sample"] = """
 SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
 FROM documents
@@ -2155,6 +2195,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_corpus_sample": q_ta_corpus_sample,
     "ta_dup_ngrams": q_ta_dup_ngrams,
     "ta_dsir_resample": q_ta_dsir_resample,
+    "ta_regex_tokens": q_ta_regex_tokens,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,

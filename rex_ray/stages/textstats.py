@@ -519,6 +519,60 @@ def cross_doc_dup_ngrams(docs_ds, n: int = 3):
     return docs_ds.map_batches(score, batch_format="pandas")
 
 
+# BPE-ish pretokenizer classes (GPT-2-style, lookahead-free so the
+# same pattern runs identically under Python re and DuckDB's RE2):
+# letter runs, digit runs, single non-alnum non-space marks.
+REGEX_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+class RegexTokenCounter:
+    """(doc_id, text) -> per-doc token counts under the BPE-ish
+    pretokenizer regex: n_regex_tokens (all matches), n_alpha, n_num,
+    n_other — the 'token counting' quality/quota signal computed the
+    way a BPE tokenizer would segment, not by whitespace (whitespace
+    counts live in DocStats).  Pattern compiled once per actor;
+    counting is findall-per-row over the batch (regex state is the
+    per-actor setup, the hot loop is C)."""
+
+    def __init__(self, pattern: str = REGEX_TOKEN_PATTERN):
+        import re
+
+        self._re = re.compile(pattern)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        total = np.empty(len(ids), dtype=np.int64)
+        alpha = np.empty(len(ids), dtype=np.int64)
+        num = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"]):
+            ms = self._re.findall(t)
+            total[i] = len(ms)
+            alpha[i] = sum(1 for m in ms if m[0].isalpha())
+            num[i] = sum(1 for m in ms if m[0].isdigit())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_regex_tokens": pa.array(total, pa.int64()),
+                "n_alpha": pa.array(alpha, pa.int64()),
+                "n_num": pa.array(num, pa.int64()),
+                "n_other": pa.array(total - alpha - num, pa.int64()),
+            }
+        )
+
+
+def regex_token_counts(docs_ds, pattern: str = REGEX_TOKEN_PATTERN,
+                       **kwargs):
+    from rex_ray.functions.blocks import default_concurrency
+
+    return docs_ds.map_batches(
+        RegexTokenCounter,
+        fn_constructor_kwargs={"pattern": pattern},
+        batch_format="pandas",
+        concurrency=kwargs.pop("concurrency", None) or default_concurrency(),
+        **kwargs,
+    )
+
+
 # Default PII-shaped scrub patterns (email / phone / IPv4).  The
 # synthetic corpus contains none of these; the ta_redact query uses
 # patterns that do fire there so the dataflow is exercised end to end.
