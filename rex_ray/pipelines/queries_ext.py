@@ -772,6 +772,22 @@ def q_ann_lsh_topk(sf_dir: str):
     )
 
 
+def q_ann_hard_negatives(sf_dir: str):
+    """Hard-negative mining (DPR/Contriever): per query, the k most
+    cosine-similar vectors with a DIFFERENT label — broadcast query
+    matrix, per-batch matmul partials, per-query merge."""
+    from rex_ray.stages.similarity import hard_negative_topk
+
+    return hard_negative_topk(
+        _read(
+            sf_dir, "embeddings",
+            columns=["vec_id", "embedding", "label"],
+        ),
+        query_ids=range(ANN_NUM_QUERIES),
+        k=ANN_K,
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """Approximate IVF variant — recall < 1 by design (rows-only
     check; recall vs brute force asserted in tests)."""
@@ -1474,6 +1490,24 @@ QUALIFY rank <= {ANN_K}
 
 
 EXT_SQL["ann_lsh_topk"] = _lsh_sql()
+
+EXT_SQL["ann_hard_negatives"] = f"""
+WITH sims AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_cosine_similarity(q.embedding::DOUBLE[],
+                                  n.embedding::DOUBLE[]) AS sim
+    FROM embeddings q
+    JOIN embeddings n
+      ON n.vec_id != q.vec_id AND n.label != q.label
+    WHERE q.vec_id < {ANN_NUM_QUERIES}
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {ANN_K}
+"""
 
 EXT_SQL["mm_frame_samples"] = """
 WITH stats AS (
@@ -2213,6 +2247,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_split_leakage": q_dd_split_leakage,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_hard_negatives": q_ann_hard_negatives,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_ivf_exact": q_ann_ivf_exact,
     "ann_kmeans": q_ann_kmeans,

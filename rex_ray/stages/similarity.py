@@ -571,3 +571,81 @@ def lsh_topk(
     return pre_shuffle(partial).groupby("query_id").map_groups(
         merge, batch_format="pandas"
     )
+
+
+def hard_negative_topk(
+    emb_ds,
+    query_ids: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+):
+    """Hard-negative mining for contrastive training (DPR/Contriever
+    recipe): for each query vector, the k most-similar vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss.  Same distributed shape as :func:`brute_force_topk` (one
+    broadcast query matrix, per-batch matmul partials, one per-query
+    merge); the label test rides the same batch.  Output: (query_id,
+    neighbor_id, rank), ties -> smaller id."""
+    qset = sorted(query_ids)
+    qdf = (
+        _filter_ids(emb_ds, id_col, qset).to_pandas().sort_values(id_col)
+    )
+    Q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qids = qdf[id_col].to_numpy()
+    qlabels = qdf[label_col].to_numpy()
+    ref = ray.put((qids, Q, qlabels))
+
+    class NegTopK:
+        def __init__(self):
+            self.qids, self.Q, self.qlabels = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            B = _normalize(
+                np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            )
+            bids = batch[id_col].to_numpy()
+            blabels = batch[label_col].to_numpy()
+            sims = self.Q @ B.T
+            rows = []
+            for qi, qid in enumerate(self.qids):
+                mask = (bids != qid) & (blabels != self.qlabels[qi])
+                if not mask.any():
+                    continue
+                cand_ids = bids[mask]
+                cand_s = sims[qi][mask]
+                take = min(k, len(cand_ids))
+                order = np.lexsort((cand_ids, -cand_s))[:take]
+                for j in order:
+                    rows.append(
+                        (int(qid), int(cand_ids[j]), float(cand_s[j]))
+                    )
+            return arrow_block(
+                pd.DataFrame(
+                    rows, columns=["query_id", "neighbor_id", "sim"]
+                ),
+                schema=_TOPK_PARTIAL_SCHEMA,
+            )
+
+    partial = emb_ds.map_batches(
+        NegTopK, batch_format="pandas", concurrency=default_concurrency()
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        return arrow_block(
+            pd.DataFrame(
+                {
+                    "query_id": g["query_id"],
+                    "neighbor_id": g["neighbor_id"],
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
+        )
+
+    return pre_shuffle(partial).groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )
