@@ -10,8 +10,11 @@ Light dictionary stages run as TASKS with per-process state caches;
 actor pools are reserved for heavy model state (see stages/scorer.py).
 
 Everything streams; the only materialized intermediates are (a) the
-distinct-surface list (tiny, feeds the canonical dict) and (b) the
-final triple store if the caller writes it.
+distinct-surface Dataset (its COUNT routes the cardinality guard: at
+gazetteer scale it is pulled to feed the broadcast canonical dict, above
+``canonical.DRIVER_CC_MAX_NODES`` it stays distributed through label
+propagation + join linking) and (b) the final triple store if the
+caller writes it.
 """
 
 from __future__ import annotations
@@ -58,6 +61,9 @@ def triple_store_from_text_docs(
     docs_text_ds,
     min_score: float = 0.0,
     canonical: Optional[Dict[str, str]] = None,
+    max_driver_nodes: Optional[int] = None,
+    gazetteer: Optional[Dict[str, str]] = None,
+    route_out: Optional[dict] = None,
 ):
     """(doc_id, text) Dataset -> deduped triple store Dataset
     (subj_id, pred, obj_id, score, support).
@@ -70,22 +76,80 @@ def triple_store_from_text_docs(
     path.  With a precomputed canonical map (the resumable runner's
     phase-0 artifact) the fused extract-triples path streams with no
     intermediate at all.
+
+    Cardinality guard (north-star canonicalization at 10^12-doc scale,
+    SURVEY.md §7.1 steps 9-10): the distinct-surface COUNT — one int —
+    is the only thing the driver sees before routing.  At or below
+    ``max_driver_nodes`` (default ``canonical.DRIVER_CC_MAX_NODES``)
+    the surfaces are pulled, components come from driver union-find
+    and the linker broadcasts a dict (gazetteer-sized inventories).
+    Above it NOTHING corpus-sized ever lands on the driver: surfaces
+    stay a Dataset, components come from distributed label
+    propagation (:func:`canonical.canonical_labels_from_nodes_ds`) and
+    linking is a pair of hash-shuffle joins
+    (:func:`link.link_triples_via_join`).  Both routes are hash-equal
+    (asserted in tests and by the kg_triple_store_lp driver-gate row).
+
+    ``route_out``: optional dict; gets ``{"canonical_route":
+    "precomputed"|"driver"|"lp", "n_surfaces": int}`` for
+    observability/tests.
     """
+    if max_driver_nodes is None:
+        max_driver_nodes = canon.DRIVER_CC_MAX_NODES
     if canonical is not None:
+        if route_out is not None:
+            route_out["canonical_route"] = "precomputed"
         triples = extract.extract_triples(docs_text_ds, min_score=min_score)
-    else:
-        tagged = extract.extract_triples_and_surfaces(
-            docs_text_ds, min_score=min_score
-        ).materialize()
-        uniq = tagged.filter(expr="kind == 's'").unique("surface")
-        surfaces = sorted(uniq) if uniq else []
+        linked = link.link_triples(triples, canonical)
+        return agg.dedup_triple_store(linked)
+
+    from rex_ray.functions.blocks import pre_shuffle
+
+    tagged = extract.extract_triples_and_surfaces(
+        docs_text_ds, min_score=min_score, gazetteer=gazetteer
+    ).materialize()
+    # distributed distinct: per-batch partial distinct -> one small
+    # shuffle; the driver only ever reads the COUNT of this Dataset
+    surf_partial = tagged.filter(expr="kind == 's'").map_batches(
+        lambda t: t.select(["surface"])
+        .group_by("surface")
+        .aggregate([])
+        .rename_columns(["node"]),
+        batch_format="pyarrow",
+    )
+    nodes_ds = (
+        pre_shuffle(surf_partial)
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .materialize()
+    )
+    n_surfaces = nodes_ds.count()
+    triples = tagged.filter(expr="kind == 't'").drop_columns(
+        ["kind", "surface"]
+    )
+    if n_surfaces <= max_driver_nodes:
+        if route_out is not None:
+            route_out["canonical_route"] = "driver"
+            route_out["n_surfaces"] = n_surfaces
+        # empty aggregate loses the column entirely; guard the
+        # degenerate (mention-free) corpus before indexing it
+        surfaces = (
+            sorted(nodes_ds.to_pandas()["node"]) if n_surfaces else []
+        )
         canonical = canon.canonical_map_for_surfaces(
-            surfaces, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX
+            surfaces, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX,
+            max_driver_nodes=max(max_driver_nodes, 1),
         )
-        triples = tagged.filter(expr="kind == 't'").drop_columns(
-            ["kind", "surface"]
+        linked = link.link_triples(triples, canonical)
+    else:
+        if route_out is not None:
+            route_out["canonical_route"] = "lp"
+            route_out["n_surfaces"] = n_surfaces
+        map_ds = canon.canonical_labels_from_nodes_ds(
+            nodes_ds, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX
         )
-    linked = link.link_triples(triples, canonical)
+        linked = link.link_triples_via_join(triples, map_ds)
     return agg.dedup_triple_store(linked)
 
 
@@ -93,6 +157,8 @@ def triple_store_from_interleaved(
     interleaved_ds,
     min_score: float = 0.0,
     canonical: Optional[Dict[str, str]] = None,
+    max_driver_nodes: Optional[int] = None,
+    route_out: Optional[dict] = None,
 ):
     """Interleaved text+media docs -> triple store.  The normalize stage
     validates the span-sequence invariant on every row and projects the
@@ -100,7 +166,8 @@ def triple_store_from_interleaved(
     stages (``stages.multimodal``)."""
     text_ds = il.text_view(interleaved_ds)
     return triple_store_from_text_docs(
-        text_ds, min_score=min_score, canonical=canonical
+        text_ds, min_score=min_score, canonical=canonical,
+        max_driver_nodes=max_driver_nodes, route_out=route_out,
     )
 
 

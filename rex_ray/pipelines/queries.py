@@ -194,6 +194,25 @@ def q_kg_triple_store(sf_dir: str):
     return kg.triple_store_from_text_docs(_docs(sf_dir))
 
 
+def q_kg_triple_store_lp(sf_dir: str):
+    """The SAME triple store through the fully-distributed route the
+    cardinality guard takes above DRIVER_CC_MAX_NODES surfaces:
+    surfaces stay a Dataset, components come from label propagation
+    (canonical_labels_from_nodes_ds) and linking is a pair of
+    hash-shuffle joins (link_triples_via_join) — no surface list and
+    no broadcast dict ever land on the driver.  Checked against the
+    same oracle as kg_triple_store, so the scale path itself is
+    driver-gate-verified end-to-end (round-3 verdict item #1)."""
+    from rex_ray.pipelines import kg
+
+    route: dict = {}
+    out = kg.triple_store_from_text_docs(
+        _docs(sf_dir), max_driver_nodes=0, route_out=route
+    )
+    assert route["canonical_route"] == "lp", route
+    return out
+
+
 def q_kg_triple_store_interleaved(sf_dir: str):
     """Same result as kg_triple_store, but through the full interleaved
     path: synthesize Lance-shaped docs -> validate span sequence ->
@@ -1463,6 +1482,7 @@ JOIN canon co ON tri.obj = co.surface
 GROUP BY 1, 2, 3
 """
 _SQL["kg_triple_store"] = _TRIPLE_STORE_SQL
+_SQL["kg_triple_store_lp"] = _TRIPLE_STORE_SQL
 _SQL["kg_triple_store_interleaved"] = _TRIPLE_STORE_SQL
 
 _SQL["kg_store_delta"] = f"""
@@ -1934,6 +1954,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_bags": q_kg_bags,
     "kg_canonical_map": q_kg_canonical_map,
     "kg_triple_store": q_kg_triple_store,
+    "kg_triple_store_lp": q_kg_triple_store_lp,
     "kg_entity_degrees": q_kg_entity_degrees,
     "kg_entity_triangles": q_kg_entity_triangles,
     "kg_entity_pagerank": q_kg_entity_pagerank,

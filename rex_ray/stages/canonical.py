@@ -180,6 +180,74 @@ def canonical_map_for_surfaces(
     return {s: prefix + c for s, c in cc.items()}
 
 
+def canonical_labels_from_nodes_ds(
+    nodes_ds,
+    variant_edges: Sequence[Tuple[str, str]],
+    prefix: str,
+):
+    """Fully-distributed canonical map: (node) Dataset -> (node,
+    canonical) Dataset with canonical ids already prefixed — the
+    above-``DRIVER_CC_MAX_NODES`` branch of the flagship (north-star
+    canonicalization, SURVEY.md §7.1 steps 9-10).  The surface
+    inventory NEVER lands on the driver:
+
+    * the only driver-materialized intermediate is ``touched`` — nodes
+      that appear as an endpoint of the alias graph, bounded by
+      ``2 * len(variant_edges)`` (the alias dictionary is spec-literal
+      broadcast state, so this is alias-dict-sized, corpus-independent);
+    * components come from :func:`cc_label_propagation` over the full
+      node Dataset (every non-touched node is its own component and
+      stabilizes in round one);
+    * the result feeds :func:`rex_ray.stages.link.link_triples_via_join`
+      — no surface->id dict is ever built.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    endpoints = sorted({n for e in variant_edges for n in e})
+
+    def mark_touched(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["node"], value_set=pa.array(endpoints, pa.string())
+        )
+        return t.filter(mask)
+
+    touched = nodes_ds.map_batches(
+        mark_touched, batch_format="pyarrow"
+    ).to_pandas()
+    present = set(touched["node"])
+    edges = [
+        (a, b) for a, b in variant_edges if a in present and b in present
+    ]
+    if edges:
+        a, b = zip(*edges)
+    else:
+        a, b = (), ()
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(a), pa.string()),
+                "b": pa.array(list(b), pa.string()),
+            }
+        )
+    )
+    labels = cc_label_propagation(nodes_ds, edges_ds)
+
+    def add_prefix(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("canonical"),
+            "canonical",
+            pc.binary_join_element_wise(
+                pa.array([prefix] * t.num_rows, pa.string()),
+                pc.cast(t["canonical"], pa.string()),
+                "",
+            ),
+        )
+
+    return labels.map_batches(add_prefix, batch_format="pyarrow")
+
+
 def canonical_labels_ds(
     nodes: Sequence[str], edges: Sequence[Tuple[str, str]]
 ):

@@ -238,8 +238,12 @@ def _tagged_schema(doc_id_t: pa.DataType) -> pa.Schema:
     ).append(pa.field("surface", pa.string()))
 
 
+_GAZ_EXTRACTOR_CACHE: Dict[str, "TripleExtractor"] = {}
+
+
 def extract_triples_and_surfaces(
-    docs_ds, min_score: float = 0.0, **kwargs
+    docs_ds, min_score: float = 0.0, gazetteer: Optional[Dict[str, str]] = None,
+    **kwargs
 ):
     """Single-doc-pass extraction: one streamed output carrying BOTH
     the scored triples (``kind='t'``) and the per-batch distinct
@@ -257,8 +261,32 @@ def extract_triples_and_surfaces(
     """
     kwargs.pop("concurrency", None)
 
-    def fn(batch: pd.DataFrame, _ms=min_score) -> pa.Table:
-        ex = _triple_singleton(_ms)
+    # Non-default gazetteer (e.g. a learned-NER surface inventory, the
+    # >DRIVER_CC_MAX_NODES scenario): broadcast once via ray.put, build
+    # the extractor once per worker process keyed by the ref.
+    gaz_ref = None
+    if gazetteer is not None:
+        import ray
+
+        gaz_ref = ray.put(gazetteer)
+
+    def fn(batch: pd.DataFrame, _ms=min_score, _gref=gaz_ref) -> pa.Table:
+        if _gref is None:
+            ex = _triple_singleton(_ms)
+        else:
+            key = _gref.hex() + f"|{_ms}"
+            ex = _GAZ_EXTRACTOR_CACHE.get(key)
+            if ex is None:
+                import ray
+
+                ex = TripleExtractor(
+                    gazetteer=ray.get(_gref), min_score=_ms
+                )
+                _GAZ_EXTRACTOR_CACHE[key] = ex
+                if len(_GAZ_EXTRACTOR_CACHE) > 8:
+                    _GAZ_EXTRACTOR_CACHE.pop(
+                        next(iter(_GAZ_EXTRACTOR_CACHE))
+                    )
         doc_id_t = _doc_id_type(batch["doc_id"])
         m = ex._mentions.mentions_df(batch)
         triples = ex.triples_from_mentions(m, doc_id_t)

@@ -1,0 +1,108 @@
+"""Distributed (label-propagation + join-linking) flagship route:
+
+* forced-LP route is byte-equal to the broadcast route on the real
+  corpus (also driver-gate-checked as kg_triple_store_lp);
+* the cardinality guard fires AUTOMATICALLY above DRIVER_CC_MAX_NODES
+  distinct surfaces (>50k synthetic gazetteer) and the routed output is
+  correct — no surface list or dict on the driver (round-3 verdict #1,
+  north-star canonicalization SURVEY.md §7.1 steps 9-10).
+"""
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _docs():
+    return rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def test_lp_route_equals_broadcast_route(ray_session):
+    from rex_ray.pipelines import kg
+
+    route = {}
+    lp = kg.triple_store_from_text_docs(
+        _docs(), max_driver_nodes=0, route_out=route
+    )
+    assert route["canonical_route"] == "lp"
+    broadcast = kg.triple_store_from_text_docs(_docs())
+    pd.testing.assert_frame_equal(
+        _norm(lp.to_pandas()), _norm(broadcast.to_pandas())
+    )
+
+
+def test_guard_default_route_is_driver_at_gazetteer_scale(ray_session):
+    from rex_ray.pipelines import kg
+
+    route = {}
+    kg.triple_store_from_text_docs(
+        _docs().limit(50), route_out=route
+    ).count()
+    assert route["canonical_route"] == "driver"
+    assert route["n_surfaces"] <= 50
+
+
+def test_guard_routes_lp_above_50k_surfaces(ray_session):
+    """>DRIVER_CC_MAX_NODES distinct surfaces (a learned-NER-sized
+    inventory) with the DEFAULT threshold: the flagship must route
+    through label propagation + join linking on its own, and the
+    output must carry every surface as a canonical entity with the
+    alias components still collapsed."""
+    from rex_ray.pipelines import kg, spec
+    from rex_ray.stages import canonical as canon
+
+    n_tokens = 100
+    n_docs = (canon.DRIVER_CC_MAX_NODES // n_tokens) + 6
+    # doc i contributes tokens s{i}_0..s{i}_99 (all gazetteer hits)
+    # plus one leading alias-graph surface so the variant components
+    # are exercised through the distributed path too.
+    aliases = sorted({a for a, _ in spec.VARIANT_EDGES})
+    gaz = {a: t for a, t in spec.GAZETTEER.items()}
+    rows = []
+    for i in range(n_docs):
+        toks = [aliases[i % len(aliases)]] + [
+            f"s{i}_{j}" for j in range(n_tokens)
+        ]
+        for j in range(n_tokens):
+            gaz[f"s{i}_{j}"] = "SYN"
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    used_aliases = {aliases[i % len(aliases)] for i in range(n_docs)}
+    n_surfaces = n_docs * n_tokens + len(used_aliases)
+    assert n_surfaces > canon.DRIVER_CC_MAX_NODES
+
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(8)
+    route = {}
+    store = kg.triple_store_from_text_docs(
+        docs, gazetteer=gaz, route_out=route
+    )
+    df = store.to_pandas()
+
+    assert route["canonical_route"] == "lp"
+    assert route["n_surfaces"] == n_surfaces
+    # every adjacent same-doc pair inside the window produces a triple;
+    # store rows are distinct (subj_id, pred, obj_id)
+    assert not df.duplicated(["subj_id", "pred", "obj_id"]).any()
+    # synthetic surfaces are their own canonical ids
+    syn = df[df["subj_id"].str.startswith(f"{spec.ENTITY_ID_PREFIX}s")]
+    assert len(syn) > 0
+    # alias components collapsed exactly as the driver union-find would
+    cc = canon.cc_local(aliases, spec.VARIANT_EDGES)
+    seen_subj = set(df["subj_id"])
+    for a in aliases:
+        want = spec.ENTITY_ID_PREFIX + cc[a]
+        non_canon = spec.ENTITY_ID_PREFIX + a
+        if non_canon != want:
+            assert non_canon not in seen_subj
+    # no NILs: everything was in the gazetteer
+    assert not df["subj_id"].str.startswith("nil:").any()
+    assert not df["obj_id"].str.startswith("nil:").any()
