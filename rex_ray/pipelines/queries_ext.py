@@ -628,6 +628,24 @@ def q_ta_dup_ngrams(sf_dir: str):
     )
 
 
+def q_ta_dup_ngrams_joined(sf_dir: str):
+    """The SAME dup-ngram signal through the degradation regime the
+    cardinality guard takes on boilerplate-heavy crawls (duplicated-
+    gram table above MAX_BROADCAST_GRAMS): slim (hash, doc) shuffle
+    join instead of the broadcast probe.  Checked against the same
+    oracle as ta_dup_ngrams, so the scale path itself is driver-gate
+    verified end-to-end."""
+    from rex_ray.stages.textstats import cross_doc_dup_ngrams
+
+    route: dict = {}
+    out = cross_doc_dup_ngrams(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=3,
+        max_broadcast_grams=0, route_out=route,
+    )
+    assert route["dup_ngram_regime"] == "join", route
+    return out
+
+
 def q_ta_tfidf(sf_dir: str):
     """Distributed TF-IDF per (doc_id, token): one slim doc-token
     shuffle for tf, a vocabulary-sized broadcast for df (no second
@@ -1730,6 +1748,8 @@ FROM dg JOIN cg USING (gram)
 GROUP BY dg.doc_id
 """
 
+EXT_SQL["ta_dup_ngrams_joined"] = EXT_SQL["ta_dup_ngrams"]
+
 EXT_SQL["ta_regex_tokens"] = r"""
 WITH m AS (
     SELECT doc_id,
@@ -2228,6 +2248,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_bpe_encode": q_ta_bpe_encode,
     "ta_corpus_sample": q_ta_corpus_sample,
     "ta_dup_ngrams": q_ta_dup_ngrams,
+    "ta_dup_ngrams_joined": q_ta_dup_ngrams_joined,
     "ta_dsir_resample": q_ta_dsir_resample,
     "ta_regex_tokens": q_ta_regex_tokens,
     "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)

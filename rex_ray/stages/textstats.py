@@ -402,7 +402,21 @@ def repetition_stats(docs_ds, ns=(2, 3)):
     return docs_ds.map_batches(per_batch, batch_format="pandas")
 
 
-def cross_doc_dup_ngrams(docs_ds, n: int = 3):
+# Cardinality bound for the duplicated-gram broadcast: ~2M hashed
+# grams ≈ 32 MB of worker-resident sorted arrays.  Below it the
+# broadcast probe wins (no joins, one streaming pass); above it — a
+# boilerplate-heavy crawl where 30-60% of the corpus duplicates and
+# the >=2-count gram set is itself corpus-sized — the probe degrades
+# to a slim (hash, doc) shuffle join with bounded per-partition
+# memory, mirroring dedup.MAX_BROADCAST_HOT_KEYS (round-3 verdict).
+MAX_BROADCAST_GRAMS = 2_000_000
+
+
+def cross_doc_dup_ngrams(
+    docs_ds, n: int = 3,
+    max_broadcast_grams: int = None,
+    route_out: dict = None,
+):
     """Cross-document duplicated-n-gram signal (the Gopher/Dolma rule
     family's CROSS-doc sibling of :func:`repetition_stats`; CCNet §4.1
     measures the same overlap to drop boilerplate): per doc, how many
@@ -410,21 +424,39 @@ def cross_doc_dup_ngrams(docs_ds, n: int = 3):
     (corpus_count > within-doc count).  All int64 — consumers divide
     for the fraction; the oracle agrees exactly.
 
-    Dataflow (the tf_idf / LM-model idiom): one slim (gram, count)
-    partial shuffle builds corpus totals; grams with corpus count
-    >= 2 become ONE worker-built broadcast (sorted md5-64 + counts —
-    singleton grams, the Zipf tail and the bulk of the vocabulary,
-    are pruned map-side since they can never be duplicated); then one
-    streaming probe pass scores every doc.  No joins, no second
-    corpus shuffle.  Output: (doc_id, n_distinct, n_dup) for docs
-    with >= 1 n-gram.
+    Dataflow (the tf_idf / LM-model idiom): one slim (gram_hash,
+    count) partial shuffle builds corpus totals (grams are md5-64
+    hashed MAP-SIDE, so no gram strings ever shuffle); grams with
+    corpus count >= 2 survive (singleton grams, the Zipf tail and
+    the bulk of the vocabulary, are pruned since they can never be
+    duplicated).  The driver reads only the COUNT of that table to
+    pick the regime:
+
+    * BROADCAST (<= ``max_broadcast_grams`` duplicated grams): one
+      worker-built broadcast (sorted hashes + counts), then one
+      streaming probe pass scores every doc — no joins, no second
+      corpus shuffle;
+    * JOIN (dup-heavy corpus above the bound): one tagged per-doc
+      pass emits slim (doc_id, gram_hash, within_count) rows plus a
+      per-doc distinct-count row; the dup test runs as an exact hash
+      join against the totals table and a tiny per-doc sum folds
+      both row kinds — per-partition memory bounded by the
+      partition, never a corpus-sized broadcast object.
+
+    Both regimes are equality-asserted in tests on a planted
+    boilerplate-heavy corpus.  ``route_out`` (optional dict) gets
+    ``{"dup_ngram_regime": "broadcast"|"join", "n_dup_grams": int}``.
+    Output: (doc_id, n_distinct, n_dup) for docs with >= 1 n-gram.
     """
     from ray.data.aggregate import Sum
 
     from rex_ray.functions import hashing as H
     from rex_ray.stages.dedup import _side_object, _worker_built_ref
 
-    _P = pa.schema([("g", pa.string()), ("c", pa.int64())])
+    if max_broadcast_grams is None:
+        max_broadcast_grams = MAX_BROADCAST_GRAMS
+
+    _P = pa.schema([("h", pa.int64()), ("c", pa.int64())])
 
     def batch_grams(texts):
         grams: list = []
@@ -440,47 +472,39 @@ def cross_doc_dup_ngrams(docs_ds, n: int = 3):
         grams, _ = batch_grams(list(batch["text"]))
         if not grams:
             return _P.empty_table()
-        s = pd.Series(grams, dtype=object).value_counts()
-        return arrow_block(
-            s.rename("c").rename_axis("g").reset_index(), schema=_P
+        hv = H.md5_hash64_batch(grams).view(np.int64)
+        uniq, cnt = np.unique(hv, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=_P,
         )
 
     totals = (
         pre_shuffle(docs_ds.map_batches(partial, batch_format="pandas"))
-        .groupby("g")
+        .groupby("h")
         .aggregate(Sum("c", alias_name="c"))
         .filter(expr="c >= 2")  # singletons can never be duplicated
+        .materialize()
     )
-
-    def build(tables):
-        gs: list = []
-        cs: list = []
-        for t in tables:
-            if t.num_rows and "g" in t.schema.names:
-                gs.extend(t["g"].to_pylist())
-                cs.append(t["c"].to_numpy(zero_copy_only=False))
-        if not gs:
-            return (np.empty(0, np.uint64), np.empty(0, np.int64))
-        hv = H.md5_hash64_batch(gs)
-        c = np.concatenate(cs).astype(np.int64)
-        o = np.argsort(hv)
-        return (hv[o], c[o])
-
-    tot_ref = _worker_built_ref(totals, build)
+    n_dup_grams = totals.count()
 
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("n_distinct", pa.int64()),
          ("n_dup", pa.int64())]
     )
 
-    def score(batch: pd.DataFrame, _ref=tot_ref) -> pa.Table:
-        hs, cs = _side_object(_ref)
+    def doc_runs(batch: pd.DataFrame):
+        """Per-doc distinct-gram runs: (ids, counts, run_doc, run_h,
+        run_len) — shared by both regimes."""
         texts = list(batch["text"])
         ids = batch["doc_id"].to_numpy().astype(np.int64)
         grams, counts = batch_grams(texts)
         if not grams:
-            return out_schema.empty_table()
-        hv = H.md5_hash64_batch(grams)
+            return ids, counts, None, None, None
+        hv = H.md5_hash64_batch(grams).view(np.int64)
         parent = np.repeat(np.arange(len(texts)), counts)
         order = np.lexsort((hv, parent))
         p, h = parent[order], hv[order]
@@ -489,34 +513,162 @@ def cross_doc_dup_ngrams(docs_ds, n: int = 3):
         new_run[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
         starts = np.flatnonzero(new_run)
         run_len = np.diff(np.append(starts, len(p)))  # within-doc count
-        run_doc = p[starts]
-        run_h = h[starts]
-        # corpus totals via searchsorted probe; absent -> singleton
-        if len(hs):
-            idx = np.searchsorted(hs, run_h)
-            idx = np.minimum(idx, len(hs) - 1)
-            hit = hs[idx] == run_h
-            corpus = np.where(hit, cs[idx], 0)
-        else:
-            corpus = np.zeros(len(run_h), dtype=np.int64)
-        dup = corpus > run_len
-        n_distinct = np.bincount(run_doc, minlength=len(texts))
-        n_dup = np.bincount(
-            run_doc, weights=dup.astype(np.float64), minlength=len(texts)
-        ).astype(np.int64)
+        return ids, counts, p[starts], h[starts], run_len
+
+    if n_dup_grams <= max_broadcast_grams:
+        if route_out is not None:
+            route_out["dup_ngram_regime"] = "broadcast"
+            route_out["n_dup_grams"] = n_dup_grams
+
+        def build(tables):
+            hs: list = []
+            cs: list = []
+            for t in tables:
+                if t.num_rows and "h" in t.schema.names:
+                    hs.append(t["h"].to_numpy(zero_copy_only=False))
+                    cs.append(t["c"].to_numpy(zero_copy_only=False))
+            if not hs:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            hv = np.concatenate(hs).astype(np.int64)
+            c = np.concatenate(cs).astype(np.int64)
+            o = np.argsort(hv)
+            return (hv[o], c[o])
+
+        tot_ref = _worker_built_ref(totals, build)
+
+        def score(batch: pd.DataFrame, _ref=tot_ref) -> pa.Table:
+            hs, cs = _side_object(_ref)
+            ids, counts, run_doc, run_h, run_len = doc_runs(batch)
+            if run_doc is None:
+                return out_schema.empty_table()
+            # corpus totals via searchsorted probe; absent -> singleton
+            if len(hs):
+                idx = np.searchsorted(hs, run_h)
+                idx = np.minimum(idx, len(hs) - 1)
+                hit = hs[idx] == run_h
+                corpus = np.where(hit, cs[idx], 0)
+            else:
+                corpus = np.zeros(len(run_h), dtype=np.int64)
+            dup = corpus > run_len
+            n_texts = len(counts)
+            n_distinct = np.bincount(run_doc, minlength=n_texts)
+            n_dup = np.bincount(
+                run_doc, weights=dup.astype(np.float64),
+                minlength=n_texts,
+            ).astype(np.int64)
+            sel = counts > 0
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[sel], pa.int64()),
+                    "n_distinct": pa.array(
+                        n_distinct[sel].astype(np.int64), pa.int64()
+                    ),
+                    "n_dup": pa.array(n_dup[sel], pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        return docs_ds.map_batches(score, batch_format="pandas")
+
+    # --- JOIN regime: duplicated-gram table too large to broadcast ---
+    if route_out is not None:
+        route_out["dup_ngram_regime"] = "join"
+        route_out["n_dup_grams"] = n_dup_grams
+
+    from rex_ray.functions.blocks import compact_blocks
+    from rex_ray.stages.relational import default_join_partitions
+
+    _T = pa.schema(
+        [("kind", pa.string()), ("doc_id", pa.int64()),
+         ("h", pa.int64()), ("v", pa.int64())]
+    )
+
+    def per_doc(batch: pd.DataFrame) -> pa.Table:
+        ids, counts, run_doc, run_h, run_len = doc_runs(batch)
+        if run_doc is None:
+            return _T.empty_table()
+        n_texts = len(counts)
+        n_distinct = np.bincount(run_doc, minlength=n_texts)
         sel = counts > 0
+        n_d = int(sel.sum())
+        n_g = len(run_doc)
         return pa.table(
             {
-                "doc_id": pa.array(ids[sel], pa.int64()),
-                "n_distinct": pa.array(
-                    n_distinct[sel].astype(np.int64), pa.int64()
+                "kind": pa.array(["d"] * n_d + ["g"] * n_g, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate([ids[sel], ids[run_doc]]), pa.int64()
                 ),
-                "n_dup": pa.array(n_dup[sel], pa.int64()),
+                "h": pa.array(
+                    np.concatenate(
+                        [np.zeros(n_d, np.int64), run_h]
+                    ), pa.int64()
+                ),
+                "v": pa.array(
+                    np.concatenate(
+                        [n_distinct[sel].astype(np.int64), run_len]
+                    ), pa.int64()
+                ),
+            },
+            schema=_T,
+        )
+
+    tagged = docs_ds.map_batches(
+        per_doc, batch_format="pandas"
+    ).materialize()
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_distinct": t["v"],
+                "n_dup": pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()
+                ),
             },
             schema=out_schema,
         )
 
-    return docs_ds.map_batches(score, batch_format="pandas")
+    base = tagged.filter(expr="kind == 'd'").map_batches(
+        base_rows, batch_format="pyarrow"
+    )
+    slim = tagged.filter(expr="kind == 'g'").select_columns(
+        ["doc_id", "h", "v"]
+    )
+    joined = compact_blocks(slim).join(
+        compact_blocks(totals),
+        join_type="inner",
+        on=("h",),
+        num_partitions=default_join_partitions(),
+    )
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = t.filter(pc.greater(t["c"], t["v"]))
+        if kept.num_rows == 0:
+            return out_schema.empty_table()
+        d = kept["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n_distinct": pa.array(
+                    np.zeros(len(uniq), np.int64), pa.int64()
+                ),
+                "n_dup": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    dups = joined.map_batches(dup_partial, batch_format="pyarrow")
+    return (
+        pre_shuffle(base.union(dups))
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_dup", alias_name="n_dup"),
+        )
+    )
 
 
 # BPE-ish pretokenizer classes (GPT-2-style, lookahead-free so the

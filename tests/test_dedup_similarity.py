@@ -974,3 +974,41 @@ def test_skipgram_pairs_hand_computed(ray_session):
         ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
         ("c", "b"): 1, ("a", "c"): 1, ("c", "a"): 1,
     }
+
+
+def test_cross_doc_dup_ngrams_join_regime_equals_broadcast(ray_session):
+    """Planted boilerplate-heavy corpus (every doc shares a large
+    boilerplate prefix, so most distinct grams are duplicated — the
+    CommonCrawl pathology): forcing the duplicated-gram table above
+    the broadcast bound must route through the (hash, doc) shuffle
+    join and produce EXACTLY the broadcast regime's output."""
+    import ray.data as rd
+
+    from rex_ray.stages.textstats import cross_doc_dup_ngrams
+
+    boiler = " ".join(f"b{i}" for i in range(40))
+    rows = [
+        {"doc_id": i, "text": boiler + f" u{i} v{i} w{i} u{i} v{i}"}
+        for i in range(30)
+    ]
+    rows.append({"doc_id": 99, "text": "x y"})  # no trigram -> omitted
+    docs = rd.from_items(rows).repartition(4)
+
+    r_b, r_j = {}, {}
+    broadcast = (
+        cross_doc_dup_ngrams(docs, n=3, route_out=r_b)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    joined = (
+        cross_doc_dup_ngrams(
+            docs, n=3, max_broadcast_grams=0, route_out=r_j
+        )
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert r_b["dup_ngram_regime"] == "broadcast"
+    assert r_j["dup_ngram_regime"] == "join"
+    assert r_j["n_dup_grams"] == r_b["n_dup_grams"] > 0
+    pd.testing.assert_frame_equal(broadcast, joined)
+    # the planted boilerplate grams are flagged dup in every doc
+    assert (broadcast.loc[broadcast.doc_id < 30, "n_dup"] >= 38).all()
+    assert 99 not in set(broadcast["doc_id"])
