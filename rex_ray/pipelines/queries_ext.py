@@ -790,6 +790,34 @@ def q_ann_lsh_topk(sf_dir: str):
     )
 
 
+def q_ann_lsh_topk_bucketed(sf_dir: str):
+    """ann_lsh_topk over a PERSISTED bucket-partitioned Parquet layout
+    (hive ``bucket=<b>/`` dirs): the candidate scan reads only the
+    query buckets' partitions — the read is pruned, not just the
+    compute (round-3 verdict item #3).  Same oracle as ann_lsh_topk;
+    byte-identical output is the contract."""
+    import tempfile
+
+    from rex_ray.stages.similarity import (
+        lsh_topk_from_layout,
+        write_lsh_bucket_layout,
+    )
+
+    layout_dir = (
+        tempfile.gettempdir()
+        + "/rex_ray_lsh_layout_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    write_lsh_bucket_layout(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        layout_dir, n_planes=LSH_PLANES,
+    )
+    return lsh_topk_from_layout(
+        layout_dir, query_ids=range(ANN_NUM_QUERIES), k=ANN_K,
+        n_planes=LSH_PLANES,
+    )
+
+
 def q_ann_hard_negatives(sf_dir: str):
     """Hard-negative mining (DPR/Contriever): per query, the k most
     cosine-similar vectors with a DIFFERENT label — broadcast query
@@ -1508,6 +1536,7 @@ QUALIFY rank <= {ANN_K}
 
 
 EXT_SQL["ann_lsh_topk"] = _lsh_sql()
+EXT_SQL["ann_lsh_topk_bucketed"] = EXT_SQL["ann_lsh_topk"]
 
 EXT_SQL["ann_hard_negatives"] = f"""
 WITH sims AS (
@@ -2268,6 +2297,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "dd_split_leakage": q_dd_split_leakage,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_topk_bucketed": q_ann_lsh_topk_bucketed,
     "ann_hard_negatives": q_ann_hard_negatives,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_ivf_exact": q_ann_ivf_exact,

@@ -1,0 +1,95 @@
+"""Persisted bucket-partitioned ANN layout (round-3 verdict item #3):
+
+* the layout round-trips (hive bucket=<b>/ dirs, one per non-empty
+  LSH bucket);
+* lsh_topk_from_layout output is byte-identical to the full-scan
+  lsh_topk (also driver-gate-checked as ann_lsh_topk_bucketed vs the
+  same oracle);
+* the candidate READ is pruned: only the query buckets' partitions
+  are opened, and the pruned row count is strictly below the table's.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+N_PLANES = 4
+
+
+def _emb():
+    return rd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_layout_write_and_pruned_topk_equals_full_scan(
+    ray_session, tmp_path
+):
+    from rex_ray.stages.similarity import (
+        lsh_buckets,
+        lsh_planes,
+        lsh_topk,
+        lsh_topk_from_layout,
+        write_lsh_bucket_layout,
+    )
+
+    layout_dir = str(tmp_path / "lsh_layout")
+    n_written = write_lsh_bucket_layout(
+        _emb(), layout_dir, n_planes=N_PLANES
+    )
+    dirs = sorted(
+        (d for d in os.listdir(layout_dir) if d.startswith("bucket=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    assert n_written == len(dirs) > 1
+
+    # layout partitions hold exactly the rows the bucket rule assigns
+    full = _emb().to_pandas()
+    S = lsh_planes(N_PLANES, len(full["embedding"].iloc[0]))
+    expect_buckets = lsh_buckets(np.stack(full["embedding"]), S)
+    assert sorted(set(int(b) for b in expect_buckets)) == [
+        int(d.split("=")[1]) for d in dirs
+    ]
+    total_rows = 0
+    for d in dirs:
+        b = int(d.split("=")[1])
+        part = rd.read_parquet(f"{layout_dir}/{d}").to_pandas()
+        want = set(full["vec_id"][expect_buckets == b])
+        assert set(part["vec_id"]) == want
+        total_rows += len(part)
+    assert total_rows == len(full)
+
+    # pruned-read top-k == full-scan top-k, and the read WAS pruned
+    qids = range(6)
+    stats = {}
+    pruned = lsh_topk_from_layout(
+        layout_dir, query_ids=qids, k=5, n_planes=N_PLANES,
+        stats_out=stats,
+    ).to_pandas()
+    fullscan = lsh_topk(
+        _emb(), query_ids=qids, k=5, n_planes=N_PLANES
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(pruned), _norm(fullscan))
+    assert 0 < stats["buckets_read"] < stats["buckets_total"]
+    # fewer bytes off storage: the probed partitions hold strictly
+    # fewer rows than the table (the prune is real, not cosmetic)
+    qb = set(
+        int(b)
+        for b in lsh_buckets(
+            np.stack(
+                full.loc[full.vec_id.isin(list(qids)), "embedding"]
+            ),
+            S,
+        )
+    )
+    probed_rows = int(np.isin(expect_buckets, sorted(qb)).sum())
+    assert probed_rows < len(full)
