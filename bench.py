@@ -310,6 +310,185 @@ def run_scaling() -> dict:
     }
 
 
+def run_stress() -> dict:
+    """100x-contract stress mode (round-3 verdict item #4): planted
+    pathologies make each guarded degradation path ENGAGE, and every
+    stressed output is equality-checked against the default path.
+
+    Branches exercised (all previously proven only by unit tests):
+      lp_canonical    >DRIVER_CC_MAX_NODES distinct surfaces at the
+                      DEFAULT threshold -> flagship routes through
+                      label propagation + join linking on its own
+      dedup_join      50% near-duplicate corpus whose hot-bucket count
+                      exceeds the configured broadcast bound -> the
+                      MinHash verify tail degrades to the sketch-
+                      through-shuffle join; pair set equal to the
+                      broadcast regime's
+      dup_ngram_join  boilerplate-heavy corpus over the configured
+                      gram bound -> (hash, doc) shuffle join; output
+                      equal to the broadcast probe
+      salting         one key holding ~30% of all rows -> heavy-hitter
+                      detection finds it and the salted two-phase
+                      groupby matches the plain groupby exactly
+    """
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+    import ray.data as rd
+
+    branches: dict = {}
+    checks: dict = {}
+    timings: dict = {}
+
+    def norm(df, cols):
+        return df[cols].sort_values(cols, ignore_index=True)
+
+    # ---- 1. LP canonical: natural engage at the DEFAULT threshold ----
+    from rex_ray.pipelines import kg, spec
+    from rex_ray.stages import canonical as canon
+
+    n_tokens = 100
+    n_docs = (canon.DRIVER_CC_MAX_NODES // n_tokens) + 6
+    aliases = sorted({a for a, _ in spec.VARIANT_EDGES})
+    gaz = dict(spec.GAZETTEER)
+    rows = []
+    for i in range(n_docs):
+        toks = [aliases[i % len(aliases)]] + [
+            f"s{i}_{j}" for j in range(n_tokens)
+        ]
+        for j in range(n_tokens):
+            gaz[f"s{i}_{j}"] = "SYN"
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(16)
+    route: dict = {}
+    t0 = time.perf_counter()
+    n_store = kg.triple_store_from_text_docs(
+        docs, gazetteer=gaz, route_out=route
+    ).count()
+    timings["lp_canonical"] = round(time.perf_counter() - t0, 3)
+    branches["lp_canonical"] = dict(route)
+    checks["lp_canonical_engaged"] = route.get("canonical_route") == "lp"
+    checks["lp_canonical_rows"] = n_store > 0
+
+    # ---- 2. dedup join regime: 50% near-dup corpus over the bound ----
+    from rex_ray.stages.dedup import minhash_dup_pairs
+
+    n_base = 600
+    dup_rows = []
+    for i in range(n_base):
+        text = " ".join(f"w{(i * 7 + j) % 900}" for j in range(30))
+        dup_rows.append({"doc_id": i, "text": text})
+        dup_rows.append({"doc_id": i + n_base, "text": text})  # 50% dups
+    dcorpus = rd.from_pandas(pd.DataFrame(dup_rows)).repartition(8)
+    r_b: dict = {}
+    r_j: dict = {}
+    t0 = time.perf_counter()
+    pb = minhash_dup_pairs(dcorpus, threshold=0.9, route_out=r_b).to_pandas()
+    pj = minhash_dup_pairs(
+        dcorpus, threshold=0.9, max_broadcast_keys=1000, route_out=r_j
+    ).to_pandas()
+    timings["dedup_join"] = round(time.perf_counter() - t0, 3)
+    branches["dedup_join"] = {
+        "n_hot_keys": r_j["n_hot_keys"],
+        "bound": 1000,
+        "regimes": [r_b["dedup_regime"], r_j["dedup_regime"]],
+    }
+    checks["dedup_join_engaged"] = (
+        r_b["dedup_regime"] == "broadcast"
+        and r_j["dedup_regime"] == "join"
+        and r_j["n_hot_keys"] > 1000
+    )
+    cols = ["doc_a", "doc_b"]
+    checks["dedup_join_equal"] = norm(pb, cols).equals(norm(pj, cols))
+    checks["dedup_pairs_found"] = len(pb) >= n_base
+
+    # ---- 3. dup-ngram join regime: boilerplate-heavy corpus ----
+    from rex_ray.stages.textstats import cross_doc_dup_ngrams
+
+    boiler = " ".join(f"b{i}" for i in range(200))
+    ng_rows = [
+        {"doc_id": i, "text": boiler + f" u{i} v{i} w{i}"}
+        for i in range(2000)
+    ]
+    ncorpus = rd.from_pandas(pd.DataFrame(ng_rows)).repartition(8)
+    g_b: dict = {}
+    g_j: dict = {}
+    t0 = time.perf_counter()
+    nb = cross_doc_dup_ngrams(ncorpus, n=3, route_out=g_b).to_pandas()
+    nj = cross_doc_dup_ngrams(
+        ncorpus, n=3, max_broadcast_grams=100, route_out=g_j
+    ).to_pandas()
+    timings["dup_ngram_join"] = round(time.perf_counter() - t0, 3)
+    branches["dup_ngram_join"] = {
+        "n_dup_grams": g_j["n_dup_grams"],
+        "bound": 100,
+        "regimes": [g_b["dup_ngram_regime"], g_j["dup_ngram_regime"]],
+    }
+    checks["dup_ngram_join_engaged"] = (
+        g_b["dup_ngram_regime"] == "broadcast"
+        and g_j["dup_ngram_regime"] == "join"
+        and g_j["n_dup_grams"] > 100
+    )
+    cols = ["doc_id", "n_distinct", "n_dup"]
+    checks["dup_ngram_join_equal"] = norm(nb, cols).equals(norm(nj, cols))
+
+    # ---- 4. salting: one key holding ~30% of all rows ----
+    from ray.data.aggregate import Max, Sum
+
+    from rex_ray.stages.salt import detect_hot_keys, salted_groupby
+
+    n_rows = 100_000
+    keys = ["hot" if i % 10 < 3 else f"k{i % 997}" for i in range(n_rows)]
+    vals = [(i * 13) % 1000 for i in range(n_rows)]
+    skewed = rd.from_pandas(
+        pd.DataFrame({"subj_id": keys, "score": vals})
+    ).repartition(16)
+    t0 = time.perf_counter()
+    hot = detect_hot_keys(skewed, "subj_id")
+    salted = salted_groupby(
+        skewed, "subj_id", sums={"score": "sum_score"},
+        maxes={"score": "max_score"}, hot_keys=hot,
+    ).to_pandas()
+    plain = (
+        skewed.groupby("subj_id")
+        .aggregate(
+            Sum("score", alias_name="sum_score"),
+            Max("score", alias_name="max_score"),
+        )
+        .to_pandas()
+    )
+    timings["salting"] = round(time.perf_counter() - t0, 3)
+    branches["salting"] = {"hot_keys": sorted(hot)}
+    checks["salting_engaged"] = hot == ["hot"]
+    cols = ["subj_id", "sum_score", "max_score"]
+    checks["salting_equal"] = norm(salted, cols).equals(norm(plain, cols))
+
+    result = {
+        "metric": "stress_guards",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "all_engaged_and_equal": all(checks.values()),
+        "checks": checks,
+        "branches": branches,
+        "timings": timings,
+    }
+    ray.shutdown()
+    return result
+
+
 def _emit(result: dict, compact_drop=("queries_cold",)) -> None:
     """Print ONE compact JSON line (the driver's tail capture has a
     bounded buffer — round 2's full line outgrew it and parsed as
@@ -329,6 +508,8 @@ def _emit(result: dict, compact_drop=("queries_cold",)) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _emit(run_scaling())
+    elif "--stress" in sys.argv:
+        _emit(run_stress())
     elif "--headline-amplified" in sys.argv:
         print(json.dumps(run_headline_amplified()), flush=True)
     else:

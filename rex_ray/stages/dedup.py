@@ -237,7 +237,8 @@ def _hot_bucket_rows(bands_ds, key_col: str):
 
 
 def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3,
-                      max_broadcast_keys: int = None):
+                      max_broadcast_keys: int = None,
+                      route_out: dict = None):
     """LSH candidate generation + exact-Jaccard verification.
 
     Dataflow (every exchange carries bounded rows):
@@ -313,6 +314,7 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.9, k: int = 3,
             MAX_BROADCAST_HOT_KEYS
             if max_broadcast_keys is None else max_broadcast_keys
         ),
+        route_out=route_out,
     )
 
 
@@ -329,6 +331,7 @@ MAX_BROADCAST_HOT_KEYS = 2_000_000
 def _bucketed_jaccard_pairs(
     tagged, key_col: str, keyset_col: str, slim_kind: str, threshold: float,
     max_broadcast_keys: int = MAX_BROADCAST_HOT_KEYS,
+    route_out: dict = None,
 ):
     """Shared verify tail of the MinHash-LSH and prefix-filter paths:
 
@@ -360,7 +363,13 @@ def _bucketed_jaccard_pairs(
     )
 
     hot_keys = _hot_key_ds(slim, key_col).materialize()
-    if hot_keys.count() > max_broadcast_keys:
+    n_hot = hot_keys.count()
+    if route_out is not None:
+        route_out["n_hot_keys"] = n_hot
+        route_out["dedup_regime"] = (
+            "join" if n_hot > max_broadcast_keys else "broadcast"
+        )
+    if n_hot > max_broadcast_keys:
         return _sketch_join_pairs(
             _join_hot_filter(slim, hot_keys, key_col),
             sketches, key_col, keyset_col, threshold,
