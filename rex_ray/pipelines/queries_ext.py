@@ -580,8 +580,10 @@ def q_ta_bpe_pairs(sf_dir: str):
 
 def q_ta_bpe_merges(sf_dir: str):
     """Full BPE merge training (10 merges) on the distributed word
-    vocabulary — iterative, so rows-only (reference-equality and the
-    Sennrich paper example asserted in tests)."""
+    vocabulary — oracle-checked: the bounded merge loop unrolls into
+    10 chained CTE stages (spec.sql_bpe_merges), each recounting
+    pairs and applying the arg-max merge with the Ray side's exact
+    tie-break (was rows-only through round 3)."""
     from rex_ray.stages.textstats import bpe_train
 
     return bpe_train(
@@ -1760,6 +1762,15 @@ def _bpe_encode_sql() -> str:
 
 EXT_SQL["ta_bpe_encode"] = _bpe_encode_sql()
 
+
+def _bpe_merges_sql() -> str:
+    from rex_ray.pipelines import spec
+
+    return spec.sql_bpe_merges(num_merges=10, top_k=20000)
+
+
+EXT_SQL["ta_bpe_merges"] = _bpe_merges_sql()
+
 EXT_SQL["ta_dup_ngrams"] = """
 WITH g AS (
     SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3] AS gram
@@ -2280,7 +2291,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_dup_ngrams_joined": q_ta_dup_ngrams_joined,
     "ta_dsir_resample": q_ta_dsir_resample,
     "ta_regex_tokens": q_ta_regex_tokens,
-    "ta_bpe_merges": q_ta_bpe_merges,     # rows-only (iterative)
+    "ta_bpe_merges": q_ta_bpe_merges,
     "dd_exact_groups": q_dd_exact_groups,
     "dd_minhash_pairs": q_dd_minhash_pairs,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,

@@ -433,6 +433,67 @@ FROM enc
 """
 
 
+def sql_bpe_merges(num_merges: int = 10, top_k: int = 20000) -> str:
+    """Oracle for ta_bpe_merges: the full BPE TRAINING loop unrolled
+    as ``num_merges`` chained CTE stages (the loop is bounded and
+    data-independent in its shape, so unrolling is mechanical).  Each
+    stage recounts adjacent symbol pairs over the boundary-marked
+    vocabulary strings (SUM weighted by word count), picks the
+    arg-max pair with the Ray side's exact tie-break (freq DESC, then
+    lexicographically smallest (a, b)), and applies the merge with
+    the same doubled-boundary replace trick as :func:`sql_bpe_encode`
+    (leftmost non-overlapping, token-suffix-safe).  The vocabulary is
+    the top_k (count DESC, token ASC) word table — the identical
+    driver-bounded table bpe_train sorts/limits.  Assumes >= 1
+    adjacent pair survives every stage (true for any real corpus;
+    bpe_train breaks early on degenerate ones)."""
+    parts = [
+        f"""
+WITH v0 AS MATERIALIZED (
+    SELECT '||' || regexp_replace(token, '(.)', '\\1||', 'g') AS seg,
+           CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT u.token AS token, count(*) AS n
+        FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        GROUP BY u.token
+        ORDER BY n DESC, u.token
+        LIMIT {top_k}
+    )
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f""",
+pc{k} AS MATERIALIZED (
+    SELECT syms[j] AS a, syms[j + 1] AS b, SUM(n) AS freq
+    FROM (
+        SELECT list_filter(string_split(seg, '||'), x -> x <> '')
+                   AS syms,
+               n
+        FROM v{k - 1}
+    ), LATERAL (SELECT unnest(range(1, len(syms))) AS j)
+    GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT a, b, freq FROM pc{k} ORDER BY freq DESC, a, b LIMIT 1),
+v{k} AS MATERIALIZED (
+    SELECT replace(
+               seg,
+               '|' || (SELECT a FROM b{k}) || '||'
+                   || (SELECT b FROM b{k}) || '|',
+               '|' || (SELECT a || b FROM b{k}) || '|'
+           ) AS seg,
+           n
+    FROM v{k - 1}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k - 1} AS BIGINT) AS rank, a, b, "
+        f"CAST(freq AS BIGINT) AS freq FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
 def sql_gp_rule() -> str:
     """Full oracle for kg_globalpointer_rule: tokens -> md5-rule
     embeddings -> linear heads -> integer RoPE -> per-class biaffine
