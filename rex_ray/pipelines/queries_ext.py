@@ -820,6 +820,33 @@ def q_ann_lsh_topk_bucketed(sf_dir: str):
     )
 
 
+def q_ann_ivf_exact_bucketed(sf_dir: str):
+    """ann_ivf_exact over a PERSISTED cluster-partitioned layout with
+    the trained codebook as a sidecar: the candidate scan opens only
+    the probed cluster partitions.  Same oracle as ann_ivf_exact;
+    byte-identical output is the contract (same integer-grid k-means,
+    same probe rule, same int64 tie-break)."""
+    import tempfile
+
+    from rex_ray.stages.similarity import (
+        ivf_topk_int_from_layout,
+        write_ivf_bucket_layout,
+    )
+
+    layout_dir = (
+        tempfile.gettempdir()
+        + "/rex_ray_ivf_layout_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    write_ivf_bucket_layout(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        layout_dir, num_centroids=KMEANS_K, iters=KMEANS_ITERS,
+    )
+    return ivf_topk_int_from_layout(
+        layout_dir, query_ids=range(ANN_NUM_QUERIES), k=ANN_K, nprobe=3,
+    )
+
+
 def q_ann_hard_negatives(sf_dir: str):
     """Hard-negative mining (DPR/Contriever): per query, the k most
     cosine-similar vectors with a DIFFERENT label — broadcast query
@@ -2006,6 +2033,8 @@ FROM nd
 QUALIFY rank <= {ANN_K}
 """
 
+EXT_SQL["ann_ivf_exact_bucketed"] = EXT_SQL["ann_ivf_exact"]
+
 EXT_SQL["dd_semantic_dups"] = _KM_SQL_PREFIX + f""",
 asg AS (
     SELECT vec_id, cid AS cluster_id, CAST(d AS BIGINT) AS dist FROM (
@@ -2312,6 +2341,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ann_hard_negatives": q_ann_hard_negatives,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_ivf_exact": q_ann_ivf_exact,
+    "ann_ivf_exact_bucketed": q_ann_ivf_exact_bucketed,
     "ann_kmeans": q_ann_kmeans,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_samples": q_mm_frame_samples,

@@ -456,6 +456,166 @@ def ivf_topk_int(
     )
 
 
+def write_ivf_bucket_layout(
+    emb_ds, out_dir: str, num_centroids: int = 8, iters: int = 2,
+    id_col: str = "vec_id",
+):
+    """Persist the embedding table PARTITIONED BY its trained IVF
+    cluster (hive ``cluster=<c>/`` dirs), with the integer-grid
+    codebook saved as a ``centroids.json`` sidecar so any reader
+    probes the exact same buckets.  The IVF sibling of
+    :func:`write_lsh_bucket_layout`: at scale a query touches
+    nprobe/num_centroids of the corpus BYTES instead of scanning and
+    masking.  Returns (num_partitions_written, centroids)."""
+    import json
+    import os
+    import shutil
+
+    from rex_ray.functions.blocks import matrix_from_column
+
+    C = kmeans_fit(emb_ds, k=num_centroids, iters=iters, id_col=id_col)
+
+    def add_cluster(t: pa.Table) -> pa.Table:
+        X = np.floor(
+            matrix_from_column(t, "embedding").astype(np.float64)
+            * KM_SCALE + 0.5
+        ).astype(np.int64)
+        a, _ = _assign_int(X, C)
+        return t.append_column("cluster", pa.array(a, pa.int64()))
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    emb_ds.map_batches(add_cluster, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cluster"]
+    )
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump(C.tolist(), f)
+    n = len([d for d in os.listdir(out_dir) if d.startswith("cluster=")])
+    return n, C
+
+
+def ivf_topk_int_from_layout(
+    layout_dir: str,
+    query_ids: Sequence[int],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    stats_out: dict = None,
+):
+    """:func:`ivf_topk_int` over a persisted cluster-partitioned
+    layout (:func:`write_ivf_bucket_layout`): probe selection uses the
+    sidecar codebook and the candidate scan opens ONLY the probed
+    ``cluster=<c>`` partitions — identical output to the full-scan
+    variant (same int64 arithmetic, same probe rule, same tie-break),
+    so it hash-matches the same DuckDB oracle.  ``stats_out`` gets
+    ``{"clusters_total": int, "clusters_read": int}``."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(layout_dir, "centroids.json")) as f:
+        C = np.asarray(json.load(f), dtype=np.int64)
+
+    all_clusters = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(layout_dir)
+        if d.startswith("cluster=")
+    )
+
+    def cluster_files(clusters):
+        return [
+            f"{layout_dir}/cluster={c}/{f}"
+            for c in clusters
+            for f in sorted(os.listdir(f"{layout_dir}/cluster={c}"))
+            if f.endswith(".parquet")
+        ]
+
+    layout = rd.read_parquet(
+        cluster_files(all_clusters), columns=[id_col, "embedding"]
+    )
+    qdf = (
+        _filter_ids(layout, id_col, sorted(query_ids))
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    Q = quantize_grid(qdf["embedding"])
+    qids = qdf[id_col].to_numpy().astype(np.int64)
+
+    # per-query probe sets — the exact rule of ivf_topk_int
+    dq = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cid = np.arange(len(C), dtype=np.int64)
+    probes = [
+        np.lexsort((cid, dq[qi]))[:nprobe].astype(np.int64)
+        for qi in range(len(qids))
+    ]
+    probe_union = sorted(
+        set(int(c) for p in probes for c in p) & set(all_clusters)
+    )
+    if stats_out is not None:
+        stats_out["clusters_total"] = len(all_clusters)
+        stats_out["clusters_read"] = len(probe_union)
+    paths = cluster_files(probe_union)
+    if not paths:
+        return rd.from_arrow(
+            pa.schema(
+                [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                 ("rank", pa.int64())]
+            ).empty_table()
+        )
+    pruned = rd.read_parquet(paths, columns=[id_col, "embedding"])
+    ref = ray.put((qids, Q, C, probes))
+
+    class LocalTopKInt:
+        def __init__(self):
+            self.qids, self.Q, self.C, self.probes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            V = quantize_grid(batch["embedding"])
+            bids = batch[id_col].to_numpy().astype(np.int64)
+            cl, _ = _assign_int(V, self.C)
+            rows = []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cl, self.probes[qi]) & (bids != qid)
+                if not mask.any():
+                    continue
+                cand = bids[mask]
+                diff = V[mask] - self.Q[qi][None, :]
+                dd = (diff * diff).sum(axis=1)
+                order = np.lexsort((cand, dd))[: min(k, len(cand))]
+                rows.extend(
+                    (int(qid), int(cand[j]), int(dd[j])) for j in order
+                )
+            return arrow_block(
+                pd.DataFrame(
+                    rows, columns=["query_id", "neighbor_id", "d"]
+                ),
+                schema=_TOPK_INT_PARTIAL_SCHEMA,
+            )
+
+    partial = pruned.map_batches(
+        LocalTopKInt, batch_format="pandas",
+        concurrency=default_concurrency(),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d", "neighbor_id"]).head(k)
+        g = g.reset_index(drop=True)
+        return arrow_block(
+            pd.DataFrame(
+                {
+                    "query_id": g["query_id"],
+                    "neighbor_id": g["neighbor_id"],
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
+        )
+
+    return pre_shuffle(partial).groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (sign random projections)
 # ---------------------------------------------------------------------------

@@ -93,3 +93,34 @@ def test_layout_write_and_pruned_topk_equals_full_scan(
     )
     probed_rows = int(np.isin(expect_buckets, sorted(qb)).sum())
     assert probed_rows < len(full)
+
+
+def test_ivf_layout_pruned_topk_equals_full_scan(ray_session, tmp_path):
+    """IVF sibling of the LSH layout: cluster-partitioned Parquet +
+    sidecar codebook; pruned-read top-k equals the full-scan
+    ivf_topk_int, and with a small probe set the read is strictly
+    pruned."""
+    from rex_ray.stages.similarity import (
+        ivf_topk_int,
+        ivf_topk_int_from_layout,
+        write_ivf_bucket_layout,
+    )
+
+    layout_dir = str(tmp_path / "ivf_layout")
+    n_parts, C = write_ivf_bucket_layout(
+        _emb(), layout_dir, num_centroids=8, iters=2
+    )
+    assert n_parts > 1
+    assert os.path.exists(f"{layout_dir}/centroids.json")
+
+    qids = range(2)
+    stats = {}
+    pruned = ivf_topk_int_from_layout(
+        layout_dir, query_ids=qids, k=5, nprobe=2, stats_out=stats
+    ).to_pandas()
+    fullscan = ivf_topk_int(
+        _emb(), query_ids=qids, k=5, num_centroids=8, iters=2, nprobe=2
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(pruned), _norm(fullscan))
+    # 2 queries x 2 probes <= 4 clusters of 8: the read is pruned
+    assert 0 < stats["clusters_read"] <= 4 < stats["clusters_total"]
