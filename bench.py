@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "kg_ingest_bmes",                # BMES render/parse/decode roundtrip
     "kg_pcnn_rule",                  # integer conv+pool+dense twin
     "ta_dup_ngrams",                 # cross-doc duplicated-gram probe
+    # round-4 additions
+    "kg_triple_store_lp",            # fully-distributed canonical route
+    "ta_dup_ngrams_joined",          # bounded shuffle-join dup-gram regime
+    "ann_lsh_topk_bucketed",         # persisted bucket layout, pruned read
+    "ann_ivf_exact_bucketed",        # persisted IVF layout + sidecar codebook
+    "ta_bpe_merges",                 # BPE training (now oracle-checked)
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

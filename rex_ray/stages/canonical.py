@@ -96,6 +96,7 @@ def cc_label_propagation(nodes_ds, edges_ds, max_iter: int = 20):
     if both.count() == 0:
         return labels
 
+    prev_sum = _labels_checksum(labels)
     for _ in range(max_iter):
         # label of src flows to dst
         # compact both join inputs: labels is a groupby output after
@@ -121,24 +122,47 @@ def cc_label_propagation(nodes_ds, edges_ds, max_iter: int = 20):
             .aggregate(Min("canonical", alias_name="canonical"))
             .materialize()
         )
-        # fixpoint check: any label changed?
-        changed = (
-            compact_blocks(new_labels).join(
-                compact_blocks(labels).map_batches(
-                    lambda b: b.rename(columns={"canonical": "old"}),
-                    batch_format="pandas",
-                ),
-                join_type="inner",
-                on=("node",),
-                num_partitions=2,
-            )
-            .filter(lambda row: row["canonical"] != row["old"])
-            .count()
-        )
+        # fixpoint check by order-independent checksum: labels are
+        # MONOTONE (min over a superset each round), so any change
+        # strictly decreases some label and moves the hash sum — one
+        # streaming pass + a scalar aggregate instead of the
+        # new-vs-old equality JOIN the first version ran per round
+        # (measured ~1 s/round of pure join spin-up on a toy graph;
+        # collision odds ~2^-40 per round, acceptable for a stopping
+        # rule on a convergent iteration)
+        cur_sum = _labels_checksum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
+
+
+def _labels_checksum(labels_ds) -> int:
+    """Order-independent checksum of a (node, canonical) Dataset:
+    per-batch sum of md5-64 row hashes mod 2^40 (bounded partials, so
+    the global int64 sum cannot overflow below ~8M blocks), then one
+    scalar ``sum`` aggregate — no join, no driver rows."""
+    import pyarrow as pa
+
+    from rex_ray.functions import hashing as H
+
+    MOD = 1 << 40
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.schema.names:
+            return pa.table({"s": pa.array([], pa.int64())})
+        keys = [
+            f"{n}\x00{c}"
+            for n, c in zip(
+                t["node"].to_pylist(), t["canonical"].to_pylist()
+            )
+        ]
+        s = int(H.md5_hash64_batch(keys).sum()) % MOD
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    total = labels_ds.map_batches(part, batch_format="pyarrow").sum("s")
+    return int(total or 0)
 
 
 # Above this many distinct surfaces the driver union-find (and its
