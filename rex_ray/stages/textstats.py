@@ -634,11 +634,18 @@ def cross_doc_dup_ngrams(
     slim = tagged.filter(expr="kind == 'g'").select_columns(
         ["doc_id", "h", "v"]
     )
+    # partitions sized to the duplicated-gram cardinality (~500k hash
+    # rows per partition, clamped to the cluster default) — the fixed
+    # CPU-count fan-out spends more on aggregator spin-up than the
+    # join itself when the regime is forced on a small corpus
     joined = compact_blocks(slim).join(
         compact_blocks(totals),
         join_type="inner",
         on=("h",),
-        num_partitions=default_join_partitions(),
+        num_partitions=max(
+            2,
+            min(default_join_partitions(), 1 + n_dup_grams // 500_000),
+        ),
     )
 
     def dup_partial(t: pa.Table) -> pa.Table:
