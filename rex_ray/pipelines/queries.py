@@ -311,6 +311,19 @@ def q_kg_grounded_mentions(sf_dir: str):
     return ground_mentions(il.synthesize_interleaved(_docs(sf_dir)))
 
 
+def q_kg_functional_preds(sf_dir: str):
+    """Per-predicate functionality statistics over the triple store
+    (AMIE/PARIS-style schema signal): n_triples, distinct subj/obj
+    counts, max per-subject fan-out, functionality in integer parts
+    per billion — the 'is this predicate one-to-one' cleaning test."""
+    from rex_ray.pipelines import kg
+    from rex_ray.stages.aggregate import predicate_functionality
+
+    return predicate_functionality(
+        kg.triple_store_from_text_docs(_docs(sf_dir))
+    )
+
+
 def q_kg_predicate_overlap(sf_dir: str):
     """AMIE/PATTY-style predicate domain-overlap candidates:
     predicates attested for >= 2 identical distinct subjects, with
@@ -1750,6 +1763,36 @@ FROM mention m
 WHERE (m.pos // (4 + m.doc_id % 4)) // 2 >= 1
 """
 
+_SQL["kg_functional_preds"] = f"""
+WITH RECURSIVE {_kg_ctes()},
+{_canon_ctes()},
+store AS (
+    SELECT cs.canonical_id AS subj_id, tri.pred, co.canonical_id AS obj_id
+    FROM tri
+    JOIN canon cs ON tri.subj = cs.surface
+    JOIN canon co ON tri.obj = co.surface
+    GROUP BY 1, 2, 3
+),
+s AS (
+    SELECT pred, subj_id, count(*) AS c FROM store GROUP BY 1, 2
+),
+o AS (
+    SELECT pred, CAST(count(DISTINCT obj_id) AS BIGINT) AS n_obj
+    FROM store GROUP BY 1
+),
+a AS (
+    SELECT pred,
+           CAST(sum(c) AS BIGINT) AS n_triples,
+           CAST(count(*) AS BIGINT) AS n_subj,
+           CAST(max(c) AS BIGINT) AS max_fanout
+    FROM s GROUP BY 1
+)
+SELECT a.pred, a.n_triples, a.n_subj, o.n_obj, a.max_fanout,
+       CAST(floor(1e9 * a.n_subj / a.n_triples + 0.5) AS BIGINT)
+           AS functionality_ppb
+FROM a JOIN o USING (pred)
+"""
+
 _SQL["kg_predicate_overlap"] = f"""
 WITH RECURSIVE {_kg_ctes()},
 {_canon_ctes()},
@@ -1961,6 +2004,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_edge_pmi": q_kg_edge_pmi,
     "kg_merge_candidates": q_kg_merge_candidates,
     "kg_entity_kcore": q_kg_entity_kcore,
+    "kg_functional_preds": q_kg_functional_preds,
     "kg_predicate_overlap": q_kg_predicate_overlap,
     "kg_grounded_mentions": q_kg_grounded_mentions,
     "kg_triple_store_interleaved": q_kg_triple_store_interleaved,

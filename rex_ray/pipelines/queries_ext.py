@@ -619,6 +619,19 @@ def q_ta_corpus_sample(sf_dir: str):
     )
 
 
+def q_ta_stratified_sample(sf_dir: str):
+    """Per-language deterministic uniform sample (k=20 per stratum):
+    the KMV bottom-k rule applied WITHIN each stratum — the
+    data-mixing / mixture-calibration primitive.  Associative partial
+    bottom-k per (batch, stratum); invariant to sharding."""
+    from rex_ray.stages.textstats import stratified_bottomk
+
+    return stratified_bottomk(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]),
+        strata_col="lang", id_col="doc_id", k=20,
+    )
+
+
 def q_ta_dup_ngrams(sf_dir: str):
     """Cross-doc duplicated-trigram counts per doc (the Gopher/Dolma
     boilerplate signal): one slim count shuffle + a singleton-pruned
@@ -1845,6 +1858,17 @@ SELECT m.doc_id,
 FROM m LEFT JOIN c USING (doc_id)
 """
 
+EXT_SQL["ta_stratified_sample"] = """
+SELECT lang, doc_id, h FROM (
+    SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 20
+"""
+
 EXT_SQL["ta_corpus_sample"] = """
 SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
 FROM documents
@@ -2316,6 +2340,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_bpe_pairs": q_ta_bpe_pairs,
     "ta_bpe_encode": q_ta_bpe_encode,
     "ta_corpus_sample": q_ta_corpus_sample,
+    "ta_stratified_sample": q_ta_stratified_sample,
     "ta_dup_ngrams": q_ta_dup_ngrams,
     "ta_dup_ngrams_joined": q_ta_dup_ngrams_joined,
     "ta_dsir_resample": q_ta_dsir_resample,

@@ -359,3 +359,79 @@ def predicate_overlap(store_ds, min_shared: int = 2):
         )
 
     return cand.map_batches(attach, batch_format="pyarrow")
+
+
+def predicate_functionality(store_ds):
+    """Per-predicate functionality statistics — the KG-cleaning signal
+    AMIE/PARIS key their rule mining and alignment on (Galárraga et
+    al. WWW'13 §4; Suchanek et al. VLDB'11 §4): for every predicate,
+    n_triples (the store is already distinct (s, p, o)), distinct
+    subject/object counts, the largest per-subject object fan-out, and
+    functionality_ppb = floor(1e9 * n_subj / n_triples + 0.5) — 1e9
+    means every subject has exactly one object (a functional
+    predicate, near-certain extraction error when violated).
+
+    Dataflow: two slim endpoint-count shuffles (pred, subj) / (pred,
+    obj) with per-batch partials folded through ONE union groupby —
+    no joins, output one row per predicate (ontology-bounded)."""
+
+    def rename_c(t: pa.Table) -> pa.Table:
+        return t.rename_columns(list(t.schema.names)[:-1] + ["c"])
+
+    out_schema = pa.schema(
+        [("pred", pa.string()), ("n_triples", pa.int64()),
+         ("n_subj", pa.int64()), ("n_obj", pa.int64()),
+         ("max_fanout", pa.int64())]
+    )
+
+    def subj_partial(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("pred", sort=False)["c"]
+        agg = pd.DataFrame(
+            {"n_triples": g.sum(), "n_subj": g.size(), "max_fanout": g.max()}
+        ).reset_index()
+        agg["n_obj"] = np.int64(0)
+        return arrow_block(
+            agg[["pred", "n_triples", "n_subj", "n_obj", "max_fanout"]],
+            schema=out_schema,
+        )
+
+    def obj_partial(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("pred", sort=False)["c"]
+        agg = pd.DataFrame({"n_obj": g.size()}).reset_index()
+        for col in ("n_triples", "n_subj", "max_fanout"):
+            agg[col] = np.int64(0)
+        return arrow_block(
+            agg[["pred", "n_triples", "n_subj", "n_obj", "max_fanout"]],
+            schema=out_schema,
+        )
+
+    subj = (
+        store_ds.groupby(["pred", "subj_id"]).count()
+        .map_batches(rename_c, batch_format="pyarrow")
+        .map_batches(subj_partial, batch_format="pandas")
+    )
+    obj = (
+        store_ds.groupby(["pred", "obj_id"]).count()
+        .map_batches(rename_c, batch_format="pyarrow")
+        .map_batches(obj_partial, batch_format="pandas")
+    )
+    folded = (
+        pre_shuffle(subj.union(obj))
+        .groupby("pred")
+        .aggregate(
+            Sum("n_triples", alias_name="n_triples"),
+            Sum("n_subj", alias_name="n_subj"),
+            Sum("n_obj", alias_name="n_obj"),
+            Max("max_fanout", alias_name="max_fanout"),
+        )
+    )
+
+    def add_functionality(t: pa.Table) -> pa.Table:
+        ns = t["n_subj"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = t["n_triples"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ppb = np.floor(1e9 * ns / nt + 0.5).astype(np.int64)
+        return t.append_column(
+            "functionality_ppb", pa.array(ppb, pa.int64())
+        )
+
+    return folded.map_batches(add_functionality, batch_format="pyarrow")

@@ -1605,3 +1605,49 @@ def chunk_documents(docs_ds, chunk_tokens: int = 64, overlap: int = 16):
         )
 
     return docs_ds.map_batches(chunks, batch_format="pandas")
+
+
+def stratified_bottomk(ds, strata_col: str, id_col: str, k: int = 100):
+    """Per-stratum deterministic uniform sample — the data-MIXING
+    primitive ('k uniform docs from EVERY language / source / quality
+    tier', the inspection + mixture-calibration tool at 100 TB):
+    within each stratum, the k rows with the smallest md5(id), the
+    same KMV rule as :func:`bottomk_sample`, so re-runs, shard counts
+    and cluster sizes cannot change any stratum's sample.
+
+    Associative: each batch emits <= k partial rows PER STRATUM SEEN
+    IN IT; one per-stratum group merge finishes — the shuffle carries
+    O(k x strata x batches), never the corpus.  Output:
+    (strata_col, id_col, h)."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        strat = t[strata_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        h = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+        by: dict = {}
+        for i, s in enumerate(strat):
+            by.setdefault(s, []).append(i)
+        keep: list = []
+        for s, idxs in by.items():
+            idxs.sort(key=lambda i: (h[i], ids[i]))
+            keep.extend(idxs[:k])
+        keep.sort()
+        return pa.table(
+            {
+                strata_col: pa.array(
+                    [strat[i] for i in keep], t[strata_col].type
+                ),
+                id_col: pa.array([ids[i] for i in keep], t[id_col].type),
+                "h": pa.array([h[i] for i in keep], pa.string()),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col]).head(k).reset_index(drop=True)
+        return arrow_block(g)
+
+    part = pre_shuffle(ds.map_batches(partial, batch_format="pyarrow"))
+    return part.groupby(strata_col).map_groups(
+        finish, batch_format="pandas"
+    )

@@ -326,3 +326,69 @@ def test_bloom_semi_join_matches_isin(ray_session):
     keys = set(ldf.loc[ldf["l_returnflag"] == "R", "l_orderkey"])
     exp = sorted(odf.loc[odf["o_orderkey"].isin(keys), "o_orderkey"])
     assert got == exp and len(got) > 0
+
+
+def test_predicate_functionality_hand_computed(ray_session):
+    """store: p1 has subjects a (objs x,y) and b (obj x) -> n_triples 3,
+    n_subj 2, n_obj 2, max_fanout 2, functionality floor(1e9*2/3+.5);
+    p2 is perfectly functional -> 1e9."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.aggregate import predicate_functionality
+
+    store = rd.from_items(
+        [
+            {"subj_id": "a", "pred": "p1", "obj_id": "x"},
+            {"subj_id": "a", "pred": "p1", "obj_id": "y"},
+            {"subj_id": "b", "pred": "p1", "obj_id": "x"},
+            {"subj_id": "a", "pred": "p2", "obj_id": "x"},
+            {"subj_id": "c", "pred": "p2", "obj_id": "y"},
+        ]
+    ).repartition(3)
+    got = (
+        predicate_functionality(store)
+        .to_pandas().sort_values("pred", ignore_index=True)
+    )
+    assert got["pred"].tolist() == ["p1", "p2"]
+    assert got["n_triples"].tolist() == [3, 2]
+    assert got["n_subj"].tolist() == [2, 2]
+    assert got["n_obj"].tolist() == [2, 2]
+    assert got["max_fanout"].tolist() == [2, 1]
+    assert got["functionality_ppb"].tolist() == [666666667, 1000000000]
+
+
+def test_stratified_bottomk_partition_invariant(ray_session):
+    """Per-stratum KMV sample: k per stratum, exactly the smallest
+    md5(id) rows of each stratum, invariant to partition count."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.textstats import stratified_bottomk
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr"][i % 3]}
+        for i in range(300)
+    ]
+
+    def run(parts):
+        return (
+            stratified_bottomk(
+                rd.from_items(rows).repartition(parts),
+                strata_col="lang", id_col="doc_id", k=5,
+            )
+            .to_pandas()
+            .sort_values(["lang", "h"], ignore_index=True)
+        )
+
+    got = run(1)
+    assert got.groupby("lang").size().tolist() == [5, 5, 5]
+    for lang in ("en", "de", "fr"):
+        ids = [r["doc_id"] for r in rows if r["lang"] == lang]
+        want = sorted(
+            ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+        )[:5]
+        assert sorted(got.loc[got.lang == lang, "doc_id"]) == sorted(want)
+    pd.testing.assert_frame_equal(got, run(7))
