@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk_bucketed",         # persisted bucket layout, pruned read
     "ann_ivf_exact_bucketed",        # persisted IVF layout + sidecar codebook
     "ta_bpe_merges",                 # BPE training (now oracle-checked)
+    "kg_functional_preds",           # predicate functionality stats
+    "ta_stratified_sample",          # per-stratum KMV sampling
 ]
 HEADLINE = "kg_triple_store_interleaved"
 
