@@ -376,6 +376,11 @@ def predicate_functionality(store_ds):
     no joins, output one row per predicate (ontology-bounded)."""
 
     def rename_c(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pred" not in t.schema.names:
+            return pa.schema(
+                [("pred", pa.string()), ("k", pa.string()),
+                 ("c", pa.int64())]
+            ).empty_table()
         return t.rename_columns(list(t.schema.names)[:-1] + ["c"])
 
     out_schema = pa.schema(
@@ -385,6 +390,8 @@ def predicate_functionality(store_ds):
     )
 
     def subj_partial(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
         g = b.groupby("pred", sort=False)["c"]
         agg = pd.DataFrame(
             {"n_triples": g.sum(), "n_subj": g.size(), "max_fanout": g.max()}
@@ -396,6 +403,8 @@ def predicate_functionality(store_ds):
         )
 
     def obj_partial(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
         g = b.groupby("pred", sort=False)["c"]
         agg = pd.DataFrame({"n_obj": g.size()}).reset_index()
         for col in ("n_triples", "n_subj", "max_fanout"):

@@ -392,3 +392,33 @@ def test_stratified_bottomk_partition_invariant(ray_session):
         )[:5]
         assert sorted(got.loc[got.lang == lang, "doc_id"]) == sorted(want)
     pd.testing.assert_frame_equal(got, run(7))
+
+
+def test_new_ops_total_on_empty_inputs(ray_session):
+    """Degenerate-corpus totality for the round-4 operators: empty
+    store / empty documents flow through without schema crashes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.aggregate import predicate_functionality
+    from rex_ray.stages.textstats import (
+        cross_doc_dup_ngrams,
+        stratified_bottomk,
+    )
+
+    empty_store = rd.from_pandas(
+        pd.DataFrame({"subj_id": pd.Series([], dtype=str),
+                      "pred": pd.Series([], dtype=str),
+                      "obj_id": pd.Series([], dtype=str)})
+    )
+    assert predicate_functionality(empty_store).count() == 0
+
+    empty_docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype=str),
+                      "lang": pd.Series([], dtype=str)})
+    )
+    assert stratified_bottomk(
+        empty_docs, strata_col="lang", id_col="doc_id", k=5
+    ).count() == 0
+    assert cross_doc_dup_ngrams(empty_docs, n=3).count() == 0
