@@ -860,6 +860,19 @@ def q_ann_ivf_exact_bucketed(sf_dir: str):
     )
 
 
+def q_ann_embedding_stats(sf_dir: str):
+    """Per-dimension embedding-table QC on the exact integer grid
+    (n / sum / sum-of-squares / min / max per dim): the health audit
+    run before ANN or semantic dedup trusts a 100 TB embedding table
+    — collapsed dims, scale bugs and zero-padding stripes all show.
+    One partial row per (dim, batch); a tiny groupby merges."""
+    from rex_ray.stages.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(
+        _read(sf_dir, "embeddings", columns=["embedding"])
+    )
+
+
 def q_ann_hard_negatives(sf_dir: str):
     """Hard-negative mining (DPR/Contriever): per query, the k most
     cosine-similar vectors with a DIFFERENT label — broadcast query
@@ -2059,6 +2072,23 @@ QUALIFY rank <= {ANN_K}
 
 EXT_SQL["ann_ivf_exact_bucketed"] = EXT_SQL["ann_ivf_exact"]
 
+EXT_SQL["ann_embedding_stats"] = """
+WITH qe AS (
+    SELECT i - 1 AS dim,
+           CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+                      * 1024 + 0.5) AS BIGINT) AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_q,
+       CAST(sum(v * v) AS BIGINT) AS sumsq_q,
+       CAST(min(v) AS BIGINT) AS min_q,
+       CAST(max(v) AS BIGINT) AS max_q
+FROM qe GROUP BY 1
+"""
+
 EXT_SQL["dd_semantic_dups"] = _KM_SQL_PREFIX + f""",
 asg AS (
     SELECT vec_id, cid AS cluster_id, CAST(d AS BIGINT) AS dist FROM (
@@ -2367,6 +2397,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_ivf_exact": q_ann_ivf_exact,
     "ann_ivf_exact_bucketed": q_ann_ivf_exact_bucketed,
+    "ann_embedding_stats": q_ann_embedding_stats,
     "ann_kmeans": q_ann_kmeans,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_samples": q_mm_frame_samples,

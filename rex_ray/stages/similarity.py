@@ -924,3 +924,54 @@ def hard_negative_topk(
     return pre_shuffle(partial).groupby("query_id").map_groups(
         merge, batch_format="pandas"
     )
+
+
+def embedding_dim_stats(emb_ds):
+    """Per-dimension QC statistics of the embedding table on the exact
+    integer grid (v = floor(x * 1024 + 0.5), the same quantization as
+    the k-means path): n, sum, sum of squares, min, max per dim — the
+    embedding-health audit a 100 TB table needs before ANN/dedup
+    trusts it (a collapsed dimension shows as zero variance, an
+    encoder scale bug as a runaway max, padding rows as exact-zero
+    stripes).  Integer-exact, so the DuckDB oracle matches bit for
+    bit; int64 is safe to ~8e12 vectors per dim (v^2 <= ~1.1e6).
+
+    Dataflow: each batch emits ONE partial row per dimension
+    (dim-bounded, corpus-independent); a single tiny groupby merges.
+    Output: (dim, n, sum_q, sumsq_q, min_q, max_q)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    schema = pa.schema(
+        [("dim", pa.int64()), ("n", pa.int64()), ("sum_q", pa.int64()),
+         ("sumsq_q", pa.int64()), ("min_q", pa.int64()),
+         ("max_q", pa.int64())]
+    )
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "embedding" not in batch.columns:
+            return schema.empty_table()
+        X = quantize_grid(batch["embedding"])
+        n, d = X.shape
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(d, n, dtype=np.int64), pa.int64()),
+                "sum_q": pa.array(X.sum(axis=0), pa.int64()),
+                "sumsq_q": pa.array((X * X).sum(axis=0), pa.int64()),
+                "min_q": pa.array(X.min(axis=0), pa.int64()),
+                "max_q": pa.array(X.max(axis=0), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    return (
+        pre_shuffle(emb_ds.map_batches(partial, batch_format="pandas"))
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("sumsq_q", alias_name="sumsq_q"),
+            Min("min_q", alias_name="min_q"),
+            Max("max_q", alias_name="max_q"),
+        )
+    )

@@ -1012,3 +1012,32 @@ def test_cross_doc_dup_ngrams_join_regime_equals_broadcast(ray_session):
     # the planted boilerplate grams are flagged dup in every doc
     assert (broadcast.loc[broadcast.doc_id < 30, "n_dup"] >= 38).all()
     assert 99 not in set(broadcast["doc_id"])
+
+
+def test_embedding_dim_stats_hand_computed(ray_session):
+    """Integer-grid per-dim stats on a tiny table; partition-invariant."""
+    import ray.data as rd
+
+    from rex_ray.stages.similarity import embedding_dim_stats
+
+    rows = [
+        {"vec_id": 0, "embedding": [0.5, -1.0]},
+        {"vec_id": 1, "embedding": [0.25, 2.0]},
+        {"vec_id": 2, "embedding": [0.0, 0.5]},
+    ]
+    # grid: dim0 [512, 256, 0]; dim1 [-1024, 2048, 512]
+
+    def run(parts):
+        return (
+            embedding_dim_stats(rd.from_items(rows).repartition(parts))
+            .to_pandas().sort_values("dim", ignore_index=True)
+        )
+
+    got = run(1)
+    assert got["dim"].tolist() == [0, 1]
+    assert got["n"].tolist() == [3, 3]
+    assert got["sum_q"].tolist() == [768, 1536]
+    assert got["sumsq_q"].tolist() == [512**2 + 256**2, 1024**2 + 2048**2 + 512**2]
+    assert got["min_q"].tolist() == [0, -1024]
+    assert got["max_q"].tolist() == [512, 2048]
+    pd.testing.assert_frame_equal(got, run(3))
