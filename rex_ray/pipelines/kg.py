@@ -64,6 +64,7 @@ def triple_store_from_text_docs(
     max_driver_nodes: Optional[int] = None,
     gazetteer: Optional[Dict[str, str]] = None,
     route_out: Optional[dict] = None,
+    link_num_partitions: Optional[int] = None,
 ):
     """(doc_id, text) Dataset -> deduped triple store Dataset
     (subj_id, pred, obj_id, score, support).
@@ -93,6 +94,11 @@ def triple_store_from_text_docs(
     ``route_out``: optional dict; gets ``{"canonical_route":
     "precomputed"|"driver"|"lp", "n_surfaces": int}`` for
     observability/tests.
+
+    ``link_num_partitions``: explicit shuffle-partition count for the
+    LP route's linking joins; by default they are sized to
+    max(canonical-map, tagged-row) cardinality — see
+    :func:`link.link_triples_via_join`.
     """
     if max_driver_nodes is None:
         max_driver_nodes = canon.DRIVER_CC_MAX_NODES
@@ -110,12 +116,22 @@ def triple_store_from_text_docs(
     ).materialize()
     # distributed distinct: per-batch partial distinct -> one small
     # shuffle; the driver only ever reads the COUNT of this Dataset
+    import pyarrow as pa
+
+    def part_distinct(t: "pa.Table") -> "pa.Table":
+        # Ray 2.49 can emit schema-dropped empty blocks out of a
+        # filter — guard before selecting (round-4 advice)
+        if t.num_rows == 0 or "surface" not in t.schema.names:
+            return pa.table({"node": pa.array([], pa.string())})
+        return (
+            t.select(["surface"])
+            .group_by("surface")
+            .aggregate([])
+            .rename_columns(["node"])
+        )
+
     surf_partial = tagged.filter(expr="kind == 's'").map_batches(
-        lambda t: t.select(["surface"])
-        .group_by("surface")
-        .aggregate([])
-        .rename_columns(["node"]),
-        batch_format="pyarrow",
+        part_distinct, batch_format="pyarrow"
     )
     nodes_ds = (
         pre_shuffle(surf_partial)
@@ -149,7 +165,14 @@ def triple_store_from_text_docs(
         map_ds = canon.canonical_labels_from_nodes_ds(
             nodes_ds, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX
         )
-        linked = link.link_triples_via_join(triples, map_ds)
+        # tagged is materialized -> count() is a metadata read; it
+        # upper-bounds the triple rows, so the join fan-out can't
+        # funnel a huge left side through map-sized partitions
+        linked = link.link_triples_via_join(
+            triples, map_ds,
+            num_partitions=link_num_partitions,
+            est_left_rows=tagged.count(),
+        )
     return agg.dedup_triple_store(linked)
 
 
@@ -159,6 +182,7 @@ def triple_store_from_interleaved(
     canonical: Optional[Dict[str, str]] = None,
     max_driver_nodes: Optional[int] = None,
     route_out: Optional[dict] = None,
+    link_num_partitions: Optional[int] = None,
 ):
     """Interleaved text+media docs -> triple store.  The normalize stage
     validates the span-sequence invariant on every row and projects the
@@ -168,6 +192,7 @@ def triple_store_from_interleaved(
     return triple_store_from_text_docs(
         text_ds, min_score=min_score, canonical=canonical,
         max_driver_nodes=max_driver_nodes, route_out=route_out,
+        link_num_partitions=link_num_partitions,
     )
 
 

@@ -807,10 +807,14 @@ def q_ann_lsh_topk(sf_dir: str):
 
 def q_ann_lsh_topk_bucketed(sf_dir: str):
     """ann_lsh_topk over a PERSISTED bucket-partitioned Parquet layout
-    (hive ``bucket=<b>/`` dirs): the candidate scan reads only the
-    query buckets' partitions — the read is pruned, not just the
-    compute (round-3 verdict item #3).  Same oracle as ann_lsh_topk;
-    byte-identical output is the contract."""
+    (hive ``bucket=<b>/`` dirs + manifest + slim id index): both the
+    candidate scan AND the query-vector fetch read only the relevant
+    partitions (round-3 item #3, round-4 item #1).  Same oracle as
+    ann_lsh_topk; byte-identical output is the contract.  The layout
+    lives in a per-run unique temp dir (two concurrent runs against
+    the same sf_dir must not race on a shared path) and is removed
+    once the tiny result is materialized."""
+    import shutil
     import tempfile
 
     from rex_ray.stages.similarity import (
@@ -818,27 +822,29 @@ def q_ann_lsh_topk_bucketed(sf_dir: str):
         write_lsh_bucket_layout,
     )
 
-    layout_dir = (
-        tempfile.gettempdir()
-        + "/rex_ray_lsh_layout_"
-        + sf_dir.strip("/").replace("/", "_")
-    )
-    write_lsh_bucket_layout(
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        layout_dir, n_planes=LSH_PLANES,
-    )
-    return lsh_topk_from_layout(
-        layout_dir, query_ids=range(ANN_NUM_QUERIES), k=ANN_K,
-        n_planes=LSH_PLANES,
-    )
+    layout_dir = tempfile.mkdtemp(prefix="rex_ray_lsh_layout_")
+    try:
+        write_lsh_bucket_layout(
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+            layout_dir, n_planes=LSH_PLANES,
+        )
+        return lsh_topk_from_layout(
+            layout_dir, query_ids=range(ANN_NUM_QUERIES), k=ANN_K,
+            n_planes=LSH_PLANES,
+        ).materialize()
+    finally:
+        shutil.rmtree(layout_dir, ignore_errors=True)
 
 
 def q_ann_ivf_exact_bucketed(sf_dir: str):
     """ann_ivf_exact over a PERSISTED cluster-partitioned layout with
     the trained codebook as a sidecar: the candidate scan opens only
-    the probed cluster partitions.  Same oracle as ann_ivf_exact;
-    byte-identical output is the contract (same integer-grid k-means,
-    same probe rule, same int64 tie-break)."""
+    the probed cluster partitions, and the query-vector fetch reads
+    only each query's home cluster via the slim id index.  Same oracle
+    as ann_ivf_exact; byte-identical output is the contract (same
+    integer-grid k-means, same probe rule, same int64 tie-break).
+    Per-run unique temp layout dir, removed after materialization."""
+    import shutil
     import tempfile
 
     from rex_ray.stages.similarity import (
@@ -846,18 +852,18 @@ def q_ann_ivf_exact_bucketed(sf_dir: str):
         write_ivf_bucket_layout,
     )
 
-    layout_dir = (
-        tempfile.gettempdir()
-        + "/rex_ray_ivf_layout_"
-        + sf_dir.strip("/").replace("/", "_")
-    )
-    write_ivf_bucket_layout(
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        layout_dir, num_centroids=KMEANS_K, iters=KMEANS_ITERS,
-    )
-    return ivf_topk_int_from_layout(
-        layout_dir, query_ids=range(ANN_NUM_QUERIES), k=ANN_K, nprobe=3,
-    )
+    layout_dir = tempfile.mkdtemp(prefix="rex_ray_ivf_layout_")
+    try:
+        write_ivf_bucket_layout(
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+            layout_dir, num_centroids=KMEANS_K, iters=KMEANS_ITERS,
+        )
+        return ivf_topk_int_from_layout(
+            layout_dir, query_ids=range(ANN_NUM_QUERIES), k=ANN_K,
+            nprobe=3,
+        ).materialize()
+    finally:
+        shutil.rmtree(layout_dir, ignore_errors=True)
 
 
 def q_ann_embedding_stats(sf_dir: str):

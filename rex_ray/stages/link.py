@@ -182,7 +182,8 @@ def link_triples(triples_ds, canonical: Dict[str, str],
 
 
 def link_triples_via_join(triples_ds, map_ds, nil_prefix: str = "nil:",
-                          num_partitions: int = None):
+                          num_partitions: int = None,
+                          est_left_rows: int = None):
     """Distributed-join twin of :func:`link_triples` for canonical maps
     too large to broadcast: ``map_ds`` is a (node, canonical) Dataset
     (e.g. :func:`canonical.canonical_labels_ds` output, canonical ids
@@ -190,20 +191,29 @@ def link_triples_via_join(triples_ds, map_ds, nil_prefix: str = "nil:",
     left_outer semantics; unmatched surfaces get ``nil:<surface>`` —
     byte-identical output to the broadcast linker (equality-asserted
     in tests).  Two hash-shuffle joins sized to the data volume; at
-    10^12 docs this replaces an impossible multi-GB ``ray.put``."""
+    10^12 docs this replaces an impossible multi-GB ``ray.put``.
+
+    ``est_left_rows``: optional upper bound on the triple-side row
+    count (any cheap estimate — e.g. a metadata ``count()`` of the
+    materialized upstream).  The partition count is sized to the
+    LARGER side, so a small canonical map never funnels a huge triple
+    stream through two partitions (round-4 advice)."""
     import pyarrow as pa
 
     from rex_ray.functions.blocks import arrow_block, compact_blocks
     from rex_ray.stages.relational import default_join_partitions
 
     n_map = map_ds.count()
-    # default partition count sized to the canonical-map cardinality
-    # (~50k map rows per partition), clamped to the cluster default —
-    # a fixed CPU-count fan-out spends more on aggregator spin-up than
-    # the join itself on small maps (measured 6.3 s -> 3.1 s at sf0.1);
-    # at real scale pass an explicit count sized to the triple volume
+    # default partition count sized to the data (~50k rows per
+    # partition on the BIGGER join side), clamped to the cluster
+    # default — a fixed CPU-count fan-out spends more on aggregator
+    # spin-up than the join itself on small inputs (measured
+    # 6.3 s -> 3.1 s at sf0.1), while sizing only to the map side
+    # would blow per-partition memory when a huge triple stream meets
+    # a just-above-threshold map
+    n_size = max(n_map, est_left_rows or 0)
     nparts = num_partitions or max(
-        2, min(default_join_partitions(), 1 + n_map // 50_000)
+        2, min(default_join_partitions(), 1 + n_size // 50_000)
     )
 
     # degenerate empty map: every surface is NIL; the left_outer join

@@ -1,12 +1,17 @@
-"""Persisted bucket-partitioned ANN layout (round-3 verdict item #3):
+"""Persisted bucket-partitioned ANN layout (round-3 verdict item #3,
+round-4 items #1/#2):
 
 * the layout round-trips (hive bucket=<b>/ dirs, one per non-empty
-  LSH bucket);
+  LSH bucket) with a partition manifest + slim (id, bucket) index;
 * lsh_topk_from_layout output is byte-identical to the full-scan
   lsh_topk (also driver-gate-checked as ann_lsh_topk_bucketed vs the
   same oracle);
 * the candidate READ is pruned: only the query buckets' partitions
-  are opened, and the pruned row count is strictly below the table's.
+  are opened, and the pruned row count is strictly below the table's;
+* the QUERY-VECTOR fetch is pruned too: located via the id index, it
+  opens at most the probed partitions' files — never a full scan;
+* discovery is manifest-driven (object-store-safe), and an external
+  query_frame bypasses the fetch entirely.
 """
 
 import os
@@ -94,6 +99,35 @@ def test_layout_write_and_pruned_topk_equals_full_scan(
     probed_rows = int(np.isin(expect_buckets, sorted(qb)).sum())
     assert probed_rows < len(full)
 
+    # the QUERY-VECTOR fetch is pruned: it opened at most the probed
+    # partitions' files (an LSH query's home bucket IS its probe
+    # bucket), never all partitions (round-4 verdict item #1)
+    from rex_ray.functions import fsio
+
+    man = fsio.read_json(f"{layout_dir}/manifest.json")
+    probe_files = sum(len(man["partitions"][str(b)]) for b in sorted(qb))
+    all_files = sum(len(v) for v in man["partitions"].values())
+    assert 0 < stats["query_fetch_files"] <= probe_files < all_files
+    # manifest + slim index sidecars exist and index covers every row
+    assert man["kind"] == "lsh" and man["index"]
+    idx = rd.read_parquet(
+        [f"{layout_dir}/{r}" for r in man["index"]]
+    ).to_pandas()
+    assert len(idx) == len(full)
+    assert sorted(idx.columns) == ["bucket", "vec_id"]
+
+    # external query_frame bypasses the fetch and matches exactly
+    qframe = full.loc[
+        full.vec_id.isin(list(qids)), ["vec_id", "embedding"]
+    ].reset_index(drop=True)
+    stats2 = {}
+    via_frame = lsh_topk_from_layout(
+        layout_dir, query_ids=qids, k=5, n_planes=N_PLANES,
+        stats_out=stats2, query_frame=qframe,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(via_frame), _norm(fullscan))
+    assert stats2["query_fetch_files"] == 0
+
 
 def test_ivf_layout_pruned_topk_equals_full_scan(ray_session, tmp_path):
     """IVF sibling of the LSH layout: cluster-partitioned Parquet +
@@ -124,3 +158,31 @@ def test_ivf_layout_pruned_topk_equals_full_scan(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_norm(pruned), _norm(fullscan))
     # 2 queries x 2 probes <= 4 clusters of 8: the read is pruned
     assert 0 < stats["clusters_read"] <= 4 < stats["clusters_total"]
+
+    # query fetch pruned via the id index: it opens exactly the query
+    # ids' HOME clusters' files (home = nearest centroid, always
+    # inside the probe set) — strictly fewer than the layout's total
+    from rex_ray.functions import fsio
+
+    man = fsio.read_json(f"{layout_dir}/manifest.json")
+    assert man["kind"] == "ivf" and man["index"]
+    idx = rd.read_parquet(
+        [f"{layout_dir}/{r}" for r in man["index"]]
+    ).to_pandas()
+    home = sorted(set(idx.loc[idx.vec_id.isin(list(qids)), "cluster"]))
+    home_files = sum(len(man["partitions"][str(c)]) for c in home)
+    all_files = sum(len(v) for v in man["partitions"].values())
+    assert 0 < stats["query_fetch_files"] == home_files < all_files
+
+    # external query_frame path: identical output, zero fetch files
+    full = _emb().to_pandas()
+    qframe = full.loc[
+        full.vec_id.isin(list(qids)), ["vec_id", "embedding"]
+    ].reset_index(drop=True)
+    stats2 = {}
+    via_frame = ivf_topk_int_from_layout(
+        layout_dir, query_ids=qids, k=5, nprobe=2, stats_out=stats2,
+        query_frame=qframe,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(via_frame), _norm(fullscan))
+    assert stats2["query_fetch_files"] == 0
