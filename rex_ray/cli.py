@@ -26,6 +26,7 @@ import time
 from typing import Any, Dict
 
 from rex_ray.config import load_config
+from rex_ray.functions import fsio
 from rex_ray.registry import (
     get_registered,
     import_module_and_submodules,
@@ -69,21 +70,13 @@ def _flagship_resumable(cfg: Dict[str, Any]):
         bucket_lo=int(cfg.get("bucket_lo", 0)),
         bucket_hi=int(cfg.get("bucket_hi", 100)),
     )
-    out = os.path.join(cfg["out_dir"], "triple_store")
+    out = f"{cfg['out_dir'].rstrip('/')}/triple_store"
     # the merge output is rebuilt from the (checkpointed) partitions on
-    # every invocation — replace, don't accumulate
-    import shutil
-
-    if os.path.isdir(out):
-        shutil.rmtree(out)
+    # every invocation — replace, don't accumulate.  All output IO goes
+    # through fsio (pyarrow.fs), so out_dir may be an object-store URI.
+    fsio.delete_dir_if_exists(out)
     store.write_parquet(out)
-    import pyarrow.parquet as pq
-
-    n = sum(
-        pq.read_metadata(os.path.join(out, f)).num_rows
-        for f in os.listdir(out)
-        if f.endswith(".parquet")
-    )
+    n = fsio.parquet_rows(out)
     return {
         "rows": n,
         "partitions": len(lineage),
@@ -114,19 +107,10 @@ def _incremental(cfg: Dict[str, Any]):
         num_partitions=int(cfg["num_partitions"]),
         min_score=cfg["min_score"],
     )
-    out = os.path.join(delta_dir, "new_triples")
-    import shutil
-
-    if os.path.isdir(out):
-        shutil.rmtree(out)
+    out = f"{delta_dir.rstrip('/')}/new_triples"
+    fsio.delete_dir_if_exists(out)
     new_triples.write_parquet(out)
-    import pyarrow.parquet as pq
-
-    n = sum(
-        pq.read_metadata(os.path.join(out, f)).num_rows
-        for f in os.listdir(out)
-        if f.endswith(".parquet")
-    )
+    n = fsio.parquet_rows(out)
     return {
         "rows": n,
         "partitions": len(lineage),
@@ -174,8 +158,6 @@ def _ingest(cfg: Dict[str, Any]):
 
     Output parquet lands in ``<out_dir>/ingested``.  Reference
     converters: data/{NYT10,IPRE,WebNLG,MSRAv2}/convert.py."""
-    import shutil
-
     import ray.data as rd
 
     from rex_ray.sources import ingest as ing
@@ -212,17 +194,10 @@ def _ingest(cfg: Dict[str, Any]):
     else:
         raise ValueError(f"unknown ingest shape: {shape}")
 
-    out = os.path.join(cfg["out_dir"], "ingested")
-    if os.path.isdir(out):
-        shutil.rmtree(out)
+    out = f"{cfg['out_dir'].rstrip('/')}/ingested"
+    fsio.delete_dir_if_exists(out)
     ds.write_parquet(out)
-    import pyarrow.parquet as pq
-
-    n = sum(
-        pq.read_metadata(os.path.join(out, f)).num_rows
-        for f in os.listdir(out)
-        if f.endswith(".parquet")
-    )
+    n = fsio.parquet_rows(out)
     return {"rows": n, "shape": shape, "ingested": out}
 
 

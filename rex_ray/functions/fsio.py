@@ -50,6 +50,51 @@ def read_json(path: str):
         return json.loads(f.read().decode("utf-8"))
 
 
+def is_dir(path: str) -> bool:
+    fs, p = resolve_fs(path)
+    return fs.get_file_info(p).type == pafs.FileType.Directory
+
+
+def makedirs(path: str) -> None:
+    fs, p = resolve_fs(path)
+    fs.create_dir(p, recursive=True)
+
+
+def write_json_atomic(path: str, obj, token: str = "tmp") -> None:
+    """Write-then-move JSON.  On a local filesystem the move is an
+    atomic rename; on object stores it degrades to copy+delete — the
+    caller's marker-written-LAST protocol (state/checkpoint.py) is
+    what carries crash semantics there, this just avoids readers ever
+    seeing a half-written body."""
+    fs, p = resolve_fs(path)
+    parent = posixpath.dirname(p)
+    if parent:
+        fs.create_dir(parent, recursive=True)
+    tmp = f"{p}.{token}.tmp"
+    with fs.open_output_stream(tmp) as f:
+        f.write(json.dumps(obj).encode("utf-8"))
+    fs.move(tmp, p)
+
+
+def touch(path: str) -> None:
+    fs, p = resolve_fs(path)
+    with fs.open_output_stream(p) as f:
+        f.write(b"")
+
+
+def parquet_rows(dir_path: str) -> int:
+    """Total row count under a Parquet output dir from file METADATA
+    only (footers), through the same fs abstraction — no data read."""
+    import pyarrow.parquet as pq
+
+    fs, p = resolve_fs(dir_path)
+    base = p.rstrip("/")
+    total = 0
+    for rel in list_files(dir_path, suffix=".parquet"):
+        total += pq.read_metadata(f"{base}/{rel}", filesystem=fs).num_rows
+    return total
+
+
 def list_files(dir_path: str, suffix: str = "") -> List[str]:
     """Recursive file listing under ``dir_path`` (paths RELATIVE to it,
     '/'-separated), sorted — one listing call against the store, never

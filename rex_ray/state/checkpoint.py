@@ -18,16 +18,21 @@ per-partition lineage + metrics"):
 This is exact (not approximate) for any per-partition stage whose
 cross-partition merge is associative — the triple store's
 (max score, sum support) qualifies; see ``pipelines/kg.py``.
+
+All filesystem access routes through :mod:`rex_ray.functions.fsio`
+(pyarrow.fs), so ``out_dir`` may be a local path OR an object-store
+URI (s3://...) — a 100-TB run checkpoints straight to the store the
+cluster reads from, no POSIX assumption (same hardening the round-4
+verdict required of the ANN layouts).
 """
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
+
+from rex_ray.functions import fsio
 
 _SUCCESS = "_SUCCESS"
 
@@ -96,30 +101,11 @@ def plan_id_ranges(
 
 
 def _part_dir(out_dir: str, part_id: str) -> str:
-    return os.path.join(out_dir, "parts", f"part={part_id}")
+    return f"{out_dir.rstrip('/')}/parts/part={part_id}"
 
 
 def _lineage_path(out_dir: str, part_id: str) -> str:
-    return os.path.join(out_dir, "lineage", f"part-{part_id}.json")
-
-
-def _atomic_write_json(path: str, obj: Any) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)
-
-
-def _parquet_rows(dirname: str) -> int:
-    import pyarrow.parquet as pq
-
-    total = 0
-    for root, _dirs, files in os.walk(dirname):
-        for name in files:
-            if name.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(root, name)).num_rows
-    return total
+    return f"{out_dir.rstrip('/')}/lineage/part-{part_id}.json"
 
 
 def run_resumable(
@@ -136,19 +122,17 @@ def run_resumable(
     lineage: List[Dict[str, Any]] = []
     for part in partitions:
         pdir = _part_dir(out_dir, part.part_id)
-        marker = os.path.join(pdir, _SUCCESS)
+        marker = f"{pdir}/{_SUCCESS}"
         lpath = _lineage_path(out_dir, part.part_id)
-        if os.path.exists(marker) and os.path.exists(lpath):
-            with open(lpath) as f:
-                lineage.append(json.load(f))
+        if fsio.exists(marker) and fsio.exists(lpath):
+            lineage.append(fsio.read_json(lpath))
             continue
-        if os.path.isdir(pdir):  # crashed mid-write: start clean
-            shutil.rmtree(pdir)
+        fsio.delete_dir_if_exists(pdir)  # crashed mid-write: start clean
         t0 = time.perf_counter()
         out_ds = stage_fn(part.make_dataset())
         out_ds.write_parquet(pdir)
         wall = time.perf_counter() - t0
-        rows_out = _parquet_rows(pdir)
+        rows_out = fsio.parquet_rows(pdir)
         rec = {
             "part_id": part.part_id,
             "inputs": part.inputs,
@@ -157,53 +141,59 @@ def run_resumable(
             "rows_per_s": round(rows_out / wall, 1) if wall > 0 else None,
             "finished_at": time.time(),
         }
-        _atomic_write_json(lpath, rec)
-        with open(marker, "w") as f:
-            f.write("")
+        fsio.write_json_atomic(lpath, rec, token=part.part_id)
+        fsio.touch(marker)  # marker LAST: crash = no marker = re-run
         lineage.append(rec)
     return lineage
 
 
 def load_manifest(out_dir: str) -> List[Dict[str, Any]]:
-    ldir = os.path.join(out_dir, "lineage")
-    if not os.path.isdir(ldir):
+    ldir = f"{out_dir.rstrip('/')}/lineage"
+    if not fsio.is_dir(ldir):
         return []
-    out = []
-    for name in sorted(os.listdir(ldir)):
-        if name.startswith("part-") and name.endswith(".json"):
-            with open(os.path.join(ldir, name)) as f:
-                out.append(json.load(f))
-    return out
+    return [
+        fsio.read_json(f"{ldir}/{name}")
+        for name in fsio.list_files(ldir, suffix=".json")
+        if name.startswith("part-")
+    ]
 
 
 def read_output(out_dir: str):
-    """Dataset over all successfully-written partition outputs."""
+    """Dataset over all successfully-written partition outputs — one
+    recursive listing, explicit file paths (works identically on
+    object stores, where 'directories' are prefixes)."""
     import ray.data as rd
 
-    proot = os.path.join(out_dir, "parts")
-    dirs = [
-        os.path.join(proot, d)
-        for d in sorted(os.listdir(proot))
-        if os.path.exists(os.path.join(proot, d, _SUCCESS))
+    proot = f"{out_dir.rstrip('/')}/parts"
+    done = {
+        rel.rsplit("/", 1)[0]
+        for rel in fsio.list_files(proot)
+        if rel.endswith(f"/{_SUCCESS}")
+    }
+    # resolve the filesystem ONCE and hand Ray fs-local paths: Ray
+    # 2.49 rejects a LIST of URIs (it normalizes each path against
+    # the resolved fs, which only accepts fs-local paths)
+    fs, proot_local = fsio.resolve_fs(proot)
+    files = [
+        f"{proot_local}/{rel}"
+        for rel in fsio.list_files(proot, suffix=".parquet")
+        if rel.rsplit("/", 1)[0] in done
     ]
-    return rd.read_parquet(dirs, file_extensions=["parquet"])
+    return rd.read_parquet(files, filesystem=fs)
 
 
 def write_artifact(out_dir: str, name: str, obj: Any,
                    build: Optional[Callable[[], Any]] = None) -> Any:
     """Persist a small global artifact (JSON) once; later calls return
     the stored copy.  ``build`` defers construction to first need."""
-    path = os.path.join(out_dir, "artifacts", f"{name}.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
+    path = f"{out_dir.rstrip('/')}/artifacts/{name}.json"
+    if fsio.exists(path):
+        return fsio.read_json(path)
     if obj is None and build is not None:
         obj = build()
-    _atomic_write_json(path, obj)
+    fsio.write_json_atomic(path, obj, token=name)
     return obj
 
 
 def read_artifact(out_dir: str, name: str) -> Any:
-    path = os.path.join(out_dir, "artifacts", f"{name}.json")
-    with open(path) as f:
-        return json.load(f)
+    return fsio.read_json(f"{out_dir.rstrip('/')}/artifacts/{name}.json")

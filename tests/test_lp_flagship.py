@@ -52,6 +52,59 @@ def test_guard_default_route_is_driver_at_gazetteer_scale(ray_session):
     assert route["n_surfaces"] <= 50
 
 
+def test_lp_fixpoint_runs_only_on_alias_touched_sliver(
+    ray_session, monkeypatch
+):
+    """canonical_labels_from_nodes_ds must run the LP fixpoint ONLY on
+    nodes that are alias-edge endpoints (bounded by 2*len(edges));
+    every untouched node gets its identity label from a streaming map
+    without entering the iterative join loop (round-4 verdict #3)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rex_ray.pipelines import spec
+    from rex_ray.stages import canonical as canon
+
+    n_untouched = 5_000
+    nodes = [f"u{i:05d}" for i in range(n_untouched)] + sorted(
+        {a for a, _ in spec.VARIANT_EDGES}
+        | {b for _, b in spec.VARIANT_EDGES}
+    )
+    nodes_ds = rd.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.string())})
+    ).repartition(4)
+
+    seen = {}
+    real = canon.canonical_labels_ds
+
+    def spy(sliver_nodes, sliver_edges):
+        seen["n_nodes"] = len(sliver_nodes)
+        seen["n_edges"] = len(sliver_edges)
+        return real(sliver_nodes, sliver_edges)
+
+    monkeypatch.setattr(canon, "canonical_labels_ds", spy)
+    labels = canon.canonical_labels_from_nodes_ds(
+        nodes_ds, spec.VARIANT_EDGES, prefix=spec.ENTITY_ID_PREFIX
+    ).to_pandas()
+
+    # the fixpoint saw only the alias-touched sliver, never the corpus
+    assert seen["n_nodes"] <= 2 * len(spec.VARIANT_EDGES)
+    assert seen["n_nodes"] < n_untouched
+
+    # output is still the full map, equal to driver union-find
+    got = dict(zip(labels["node"], labels["canonical"]))
+    edges = [
+        (a, b)
+        for a, b in spec.VARIANT_EDGES
+        if a in set(nodes) and b in set(nodes)
+    ]
+    want = {
+        n: spec.ENTITY_ID_PREFIX + c
+        for n, c in canon.cc_local(nodes, edges).items()
+    }
+    assert got == want
+
+
 def test_guard_routes_lp_above_50k_surfaces(ray_session):
     """>DRIVER_CC_MAX_NODES distinct surfaces (a learned-NER-sized
     inventory) with the DEFAULT threshold: the flagship must route

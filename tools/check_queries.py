@@ -1,11 +1,20 @@
 """Local stand-in for the driver's correctness gate: run each registry
 query on Ray AND its DuckDB oracle, compare row count + sorted-column
-value frames.  Usage:  python tools/check_queries.py [sf_dir] [name ...]
+value frames.
+
+Usage:  python tools/check_queries.py [--json OUT.json] [sf_dir] [name ...]
+
+With no names, sweeps EVERY registered query; ``--json`` additionally
+writes a per-query machine-readable record (status, rows, seconds) so
+the full-sweep evidence can be committed as an artifact each round
+(round-4 verdict item #4) instead of being re-run by the judge.
 """
 
 from __future__ import annotations
 
+import json
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -65,8 +74,14 @@ def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> list:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -89,23 +104,39 @@ def main():
 
     qs, sqls = queries(), oracle_sql()
     failures = 0
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             got = normalize(to_pandas(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: ray error: {type(e).__name__}: {e}")
             failures += 1
+            records[name] = {
+                "status": "fail",
+                "error": f"ray: {type(e).__name__}: {e}",
+                "sec": round(time.monotonic() - t0, 2),
+            }
             continue
+        ray_sec = round(time.monotonic() - t0, 2)
         if name not in sqls:
             print(f"ok?  {name}: rows-only check, {len(got)} rows")
+            records[name] = {
+                "status": "rows_only", "rows": len(got), "sec": ray_sec,
+            }
             continue
         try:
             want = normalize(con.sql(sqls[name]).df())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
             failures += 1
+            records[name] = {
+                "status": "fail",
+                "error": f"oracle: {type(e).__name__}: {e}",
+                "sec": ray_sec,
+            }
             continue
         problems = compare(got, want, name)
         if problems:
@@ -113,9 +144,27 @@ def main():
             print(f"FAIL {name}: " + "; ".join(problems))
             print("  ray  head:", got.head(3).to_dict("records"))
             print("  want head:", want.head(3).to_dict("records"))
+            records[name] = {
+                "status": "fail", "rows": len(got), "sec": ray_sec,
+                "error": "; ".join(problems)[:500],
+            }
         else:
             print(f"PASS {name}: {len(got)} rows")
+            records[name] = {
+                "status": "pass", "rows": len(got), "sec": ray_sec,
+            }
     ray.shutdown()
+    if json_out:
+        counts = {
+            s: sum(1 for r in records.values() if r["status"] == s)
+            for s in ("pass", "rows_only", "fail")
+        }
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "counts": counts, "queries": records},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {json_out}: {counts}")
     sys.exit(1 if failures else 0)
 
 
