@@ -32,6 +32,7 @@ import pyarrow as pa
 
 import ray
 
+from rex_ray.functions import nn
 from rex_ray.functions.blocks import arrow_block, default_concurrency
 from rex_ray.functions.position import (
     decode_multiclass_pointer_matrix_spans,
@@ -169,18 +170,15 @@ class GlobalPointerScorer:
         """(B, L) ids + mask -> (B, cls, L, L) masked scaled logits."""
         w = self.w
         x = w.emb[ids]  # (B, L, d)
-        h = x @ w.Wh + w.bh
-        t = x @ w.Wt + w.bt
+        h = nn.linear(x, w.Wh, w.bh)  # FFN(mid_dims=None) == Linear
+        t = nn.linear(x, w.Wt, w.bt)
         if self.use_rope:
             h, t = (
                 rope_rotate(h, t)
                 if self.rope == "sin"
                 else rope_rotate_int(h, t)
             )
-        ones = np.ones((*h.shape[:2], 1))
-        hb = np.concatenate([h, ones], axis=-1)
-        tb = np.concatenate([t, ones], axis=-1)
-        logits = np.einsum("bxi,oij,byj->boxy", hb, w.U, tb)
+        logits = nn.biaffine(h, t, w.U, bias_x=True, bias_y=True)
         pad = (mask[:, None, None, :] * mask[:, None, :, None]).astype(
             np.float64
         )

@@ -35,6 +35,7 @@ import ray
 
 from ray.data.aggregate import Max, Sum
 
+from rex_ray.functions import nn
 from rex_ray.functions.blocks import (
     arrow_block,
     default_concurrency,
@@ -100,22 +101,10 @@ class PcnnScorer:
         x = np.concatenate(
             [w.emb[ids], w.pos_subj[rel_s], w.pos_obj[rel_o]], axis=2
         )  # (n, L, d_in) float32
-        # width-3 same-padding convolution as THREE shifted GEMMs —
-        # no (n, L, 3, d_in) intermediate (building that 4-D stack is
-        # pure memory traffic and dominated the einsum formulation)
-        conv = x @ w.conv_w[:, 1, :].T          # center tap
-        conv[:, 1:, :] += x[:, :-1, :] @ w.conv_w[:, 0, :].T  # left tap
-        conv[:, :-1, :] += x[:, 1:, :] @ w.conv_w[:, 2, :].T  # right tap
-        conv += w.conv_b  # (n, L, f)
+        conv = nn.conv1d_same(x, w.conv_w, w.conv_b)  # (n, L, f)
         # piecewise max-pool over segments 1/2/3 (0 = padding)
-        pooled = []
-        for seg in (1, 2, 3):
-            m = (pmask == seg)[:, :, None]
-            seg_vals = np.where(m, conv, -np.inf)
-            mx = seg_vals.max(axis=1)
-            pooled.append(np.where(np.isfinite(mx), mx, 0.0))
-        rep = np.tanh(np.concatenate(pooled, axis=1))  # (n, 3f)
-        logits = rep @ w.dense_w + w.dense_b
+        rep = np.tanh(nn.piecewise_max_pool(conv, pmask))  # (n, 3f)
+        logits = nn.linear(rep, w.dense_w, w.dense_b)
         return 1.0 / (1.0 + np.exp(-logits))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -542,18 +531,9 @@ class PcnnRuleScorer:
         x = np.concatenate(
             [w.emb[ids], w.pos_subj[rel_s], w.pos_obj[rel_o]], axis=2
         )  # (n, L, 6) float64, exact integers
-        conv = x @ w.conv_w[:, 1, :].T
-        conv[:, 1:, :] += x[:, :-1, :] @ w.conv_w[:, 0, :].T
-        conv[:, :-1, :] += x[:, 1:, :] @ w.conv_w[:, 2, :].T
-        conv += w.conv_b
-        pooled = []
-        for seg in (1, 2, 3):
-            m = (pmask == seg)[:, :, None]
-            seg_vals = np.where(m, conv, -np.inf)
-            mx = seg_vals.max(axis=1)
-            pooled.append(np.where(np.isfinite(mx), mx, 0.0))
-        rep = np.concatenate(pooled, axis=1)  # (n, 6) — NO tanh
-        return rep @ w.dense_w + w.dense_b    # (n, n_rels) int-exact
+        conv = nn.conv1d_same(x, w.conv_w, w.conv_b)
+        rep = nn.piecewise_max_pool(conv, pmask)  # (n, 6) — NO tanh
+        return nn.linear(rep, w.dense_w, w.dense_b)  # (n, n_rels) int-exact
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = matrix_from_column(batch, "token_ids")
