@@ -482,8 +482,12 @@ def write_ivf_bucket_layout(
         return t.append_column("cluster", pa.array(a, pa.int64()))
 
     fsio.delete_dir_if_exists(out_dir)
+    # resolve the fs ONCE and hand Ray (fs-local path, filesystem=):
+    # Ray 2.49's partitioned write re-joins child paths and trips on
+    # URI strings, so this is what makes s3://-style out_dirs work
+    wfs, wlocal = fsio.resolve_fs(out_dir)
     emb_ds.map_batches(add_cluster, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["cluster"]
+        wlocal, filesystem=wfs, partition_cols=["cluster"]
     )
     fsio.write_json(f"{out_dir}/centroids.json", C.tolist())
     manifest = _write_layout_sidecars(
@@ -523,12 +527,12 @@ def ivf_topk_int_from_layout(
     C = np.asarray(
         fsio.read_json(f"{layout_dir}/centroids.json"), dtype=np.int64
     )
-    man, parts = _read_manifest(layout_dir, "cluster")
+    man, parts, lfs, base = _read_manifest(layout_dir, "cluster")
     all_clusters = sorted(parts)
     qset = sorted(query_ids)
     if query_frame is None:
         query_frame = _fetch_query_frame(
-            layout_dir, man, parts, "cluster", id_col, qset, stats_out
+            base, lfs, man, parts, "cluster", id_col, qset, stats_out
         )
     elif stats_out is not None:
         stats_out["query_fetch_files"] = 0
@@ -566,7 +570,9 @@ def ivf_topk_int_from_layout(
     paths = [p for c in probe_union for p in parts[c]]
     if not paths:
         return _empty()
-    pruned = rd.read_parquet(paths, columns=[id_col, "embedding"])
+    pruned = rd.read_parquet(
+        paths, columns=[id_col, "embedding"], filesystem=lfs
+    )
     ref = ray.put((qids, Q, C, probes))
 
     class LocalTopKInt:
@@ -778,11 +784,14 @@ def _write_layout_sidecars(
     from rex_ray.functions import fsio
 
     parts = _layout_partitions(out_dir, key)
-    idx_dir = f"{out_dir}/_id_index"
+    sfs, sbase = fsio.resolve_fs(out_dir)
+    sbase = sbase.rstrip("/")
+    idx_dir = f"{sbase}/_id_index"
     idx_parts = []
     for v in sorted(parts):
         d = rd.read_parquet(
-            [f"{out_dir}/{r}" for r in parts[v]], columns=[id_col]
+            [f"{sbase}/{r}" for r in parts[v]], columns=[id_col],
+            filesystem=sfs,
         )
         idx_parts.append(
             d.map_batches(
@@ -798,7 +807,7 @@ def _write_layout_sidecars(
             if len(idx_parts) == 1
             else idx_parts[0].union(*idx_parts[1:])
         )
-        idx.write_parquet(idx_dir)
+        idx.write_parquet(idx_dir, filesystem=sfs)
         index_files = [
             f"_id_index/{r}" for r in fsio.list_files(idx_dir, ".parquet")
         ]
@@ -816,20 +825,28 @@ def _write_layout_sidecars(
 
 
 def _read_manifest(layout_dir: str, key: str) -> tuple:
-    """(manifest, {int partition: [abs paths]}) — discovery via the
-    persisted manifest, no directory listing."""
+    """(manifest, {int partition: [fs-local abs paths]}, filesystem,
+    fs-local base) — discovery via the persisted manifest, no
+    directory listing.  ``layout_dir`` may be a plain local path or
+    any ``pyarrow.fs`` URI (file://, s3://, ...): the filesystem is
+    resolved ONCE here and threaded to every Ray read, because Ray
+    2.49's parquet IO wants (fs-local path, filesystem=) rather than
+    URI lists."""
     from rex_ray.functions import fsio
 
     man = fsio.read_json(f"{layout_dir}/manifest.json")
+    fs, base = fsio.resolve_fs(layout_dir)
+    base = base.rstrip("/")
     parts = {
-        int(v): [f"{layout_dir}/{r}" for r in rels]
+        int(v): [f"{base}/{r}" for r in rels]
         for v, rels in man["partitions"].items()
     }
-    return man, parts
+    return man, parts, fs, base
 
 
 def _fetch_query_frame(
-    layout_dir: str,
+    base: str,
+    fs,
     man: dict,
     parts: dict,
     key: str,
@@ -840,17 +857,18 @@ def _fetch_query_frame(
     """Query-vector fetch PRUNED by the slim id index: read the
     (id, partition) index to locate each query id's home partition,
     then open ONLY those partitions' (id, embedding) columns — never a
-    full-layout scan (round-4 verdict item #1).  Returns the sorted
-    query DataFrame."""
+    full-layout scan (round-4 verdict item #1).  ``base``/``fs`` come
+    from :func:`_read_manifest`, so the fetch works on any pyarrow
+    filesystem.  Returns the sorted query DataFrame."""
     import ray.data as rd
 
-    idx_paths = [f"{layout_dir}/{r}" for r in man.get("index", [])]
+    idx_paths = [f"{base}/{r}" for r in man.get("index", [])]
     if not idx_paths:
         qdf = pd.DataFrame({id_col: [], "embedding": []})
         if stats_out is not None:
             stats_out["query_fetch_files"] = 0
         return qdf
-    idx = rd.read_parquet(idx_paths)
+    idx = rd.read_parquet(idx_paths, filesystem=fs)
     qidx = _filter_ids(idx, id_col, qset).to_pandas()
     home = sorted(set(int(v) for v in qidx[key])) if len(qidx) else []
     qpaths = [p for v in home if v in parts for p in parts[v]]
@@ -858,7 +876,9 @@ def _fetch_query_frame(
         stats_out["query_fetch_files"] = len(qpaths)
     if not qpaths:
         return pd.DataFrame({id_col: [], "embedding": []})
-    qsrc = rd.read_parquet(qpaths, columns=[id_col, "embedding"])
+    qsrc = rd.read_parquet(
+        qpaths, columns=[id_col, "embedding"], filesystem=fs
+    )
     return (
         _filter_ids(qsrc, id_col, qset).to_pandas().sort_values(id_col)
     )
@@ -895,8 +915,9 @@ def write_lsh_bucket_layout(
         )
 
     fsio.delete_dir_if_exists(out_dir)
+    wfs, wlocal = fsio.resolve_fs(out_dir)  # see write_ivf_bucket_layout
     emb_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["bucket"]
+        wlocal, filesystem=wfs, partition_cols=["bucket"]
     )
     manifest = _write_layout_sidecars(
         out_dir, "bucket", id_col, {"kind": "lsh", "n_planes": n_planes}
@@ -932,12 +953,12 @@ def lsh_topk_from_layout(
     prunes engaged."""
     import ray.data as rd
 
-    man, parts = _read_manifest(layout_dir, "bucket")
+    man, parts, lfs, base = _read_manifest(layout_dir, "bucket")
     all_buckets = sorted(parts)
     qset = sorted(query_ids)
     if query_frame is None:
         query_frame = _fetch_query_frame(
-            layout_dir, man, parts, "bucket", id_col, qset, stats_out
+            base, lfs, man, parts, "bucket", id_col, qset, stats_out
         )
     elif stats_out is not None:
         stats_out["query_fetch_files"] = 0
@@ -966,7 +987,9 @@ def lsh_topk_from_layout(
     paths = [p for b in probe for p in parts[b]]
     if not paths:
         return _empty()
-    pruned = rd.read_parquet(paths, columns=[id_col, "embedding"])
+    pruned = rd.read_parquet(
+        paths, columns=[id_col, "embedding"], filesystem=lfs
+    )
     return lsh_topk(
         pruned, query_ids, k=k, n_planes=n_planes, id_col=id_col,
         query_frame=qdf,

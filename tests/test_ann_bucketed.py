@@ -129,6 +129,40 @@ def test_layout_write_and_pruned_topk_equals_full_scan(
     assert stats2["query_fetch_files"] == 0
 
 
+def test_layout_roundtrip_through_fs_uri(ray_session, tmp_path):
+    """Write + read the LSH layout addressed by a ``file://`` URI —
+    the whole layout path (partitioned write, sidecars, manifest
+    discovery, pruned candidate + query-vector reads) must run through
+    the pyarrow.fs abstraction, not the POSIX API, so the same code
+    serves object stores (round-4 verdict item #2).  Ray 2.49's
+    partitioned write trips on URI strings, so the writer resolves the
+    fs once and hands (fs-local path, filesystem=)."""
+    from rex_ray.stages.similarity import (
+        lsh_topk,
+        lsh_topk_from_layout,
+        write_lsh_bucket_layout,
+    )
+
+    uri = f"file://{tmp_path}/lsh_uri"
+    n = write_lsh_bucket_layout(_emb(), uri, n_planes=N_PLANES)
+    assert n > 1
+    # plain-path and URI addressing read the SAME layout
+    stats = {}
+    via_uri = lsh_topk_from_layout(
+        uri, query_ids=range(4), k=5, n_planes=N_PLANES, stats_out=stats
+    ).to_pandas()
+    via_path = lsh_topk_from_layout(
+        f"{tmp_path}/lsh_uri", query_ids=range(4), k=5, n_planes=N_PLANES
+    ).to_pandas()
+    fullscan = lsh_topk(
+        _emb(), query_ids=range(4), k=5, n_planes=N_PLANES
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(via_uri), _norm(fullscan))
+    pd.testing.assert_frame_equal(_norm(via_path), _norm(fullscan))
+    assert 0 < stats["buckets_read"] < stats["buckets_total"]
+    assert stats["query_fetch_files"] > 0
+
+
 def test_ivf_layout_pruned_topk_equals_full_scan(ray_session, tmp_path):
     """IVF sibling of the LSH layout: cluster-partitioned Parquet +
     sidecar codebook; pruned-read top-k equals the full-scan
