@@ -486,13 +486,13 @@ def write_ivf_bucket_layout(
     # Ray 2.49's partitioned write re-joins child paths and trips on
     # URI strings, so this is what makes s3://-style out_dirs work
     wfs, wlocal = fsio.resolve_fs(out_dir)
-    emb_ds.map_batches(add_cluster, batch_format="pyarrow").write_parquet(
-        wlocal, filesystem=wfs, partition_cols=["cluster"]
-    )
+    keyed = emb_ds.map_batches(add_cluster, batch_format="pyarrow")
+    keyed.write_parquet(wlocal, filesystem=wfs, partition_cols=["cluster"])
     fsio.write_json(f"{out_dir}/centroids.json", C.tolist())
     manifest = _write_layout_sidecars(
         out_dir, "cluster", id_col,
         {"kind": "ivf", "num_centroids": num_centroids},
+        keyed_ds=keyed,
     )
     return len(manifest["partitions"]), C
 
@@ -770,15 +770,22 @@ def _layout_partitions(out_dir: str, key: str) -> dict:
 
 
 def _write_layout_sidecars(
-    out_dir: str, key: str, id_col: str, extra: dict
+    out_dir: str, key: str, id_col: str, extra: dict, keyed_ds=None
 ) -> dict:
-    """Finish a hive ANN layout: derive the slim per-id partition
-    index (``_id_index/`` — just (id, <key>) int64 columns, read back
-    per-partition so only the id column ever leaves storage) and
-    persist ``manifest.json`` (partition list + index files + params).
+    """Finish a hive ANN layout: write the slim per-id partition index
+    (``_id_index/`` — just (id, <key>) int64 columns) and persist
+    ``manifest.json`` (partition list + index files + params).
     Readers never list directories: the manifest travels with the
     layout, so the same code runs on local disk and object stores
-    (round-4 verdict items #1/#2).  Returns the manifest."""
+    (round-4 verdict items #1/#2).  Returns the manifest.
+
+    ``keyed_ds``: the (id, ..., <key>) Dataset the layout was written
+    from — the index is projected from it in ONE streaming pass.  The
+    fallback (keyed_ds=None) re-reads the written partitions' id
+    columns, which costs one Ray job of fixed overhead PER PARTITION
+    (measured 6.5 s -> 45 s on the 16-bucket sf0.1 bench when the
+    index build took that path) — only use it to rebuild an index for
+    a layout whose source dataset is gone."""
     import ray.data as rd
 
     from rex_ray.functions import fsio
@@ -786,33 +793,37 @@ def _write_layout_sidecars(
     parts = _layout_partitions(out_dir, key)
     sfs, sbase = fsio.resolve_fs(out_dir)
     sbase = sbase.rstrip("/")
-    idx_dir = f"{sbase}/_id_index"
-    idx_parts = []
-    for v in sorted(parts):
-        d = rd.read_parquet(
-            [f"{sbase}/{r}" for r in parts[v]], columns=[id_col],
-            filesystem=sfs,
+    idx_dir = f"{sbase}/_id_index"          # fs-local, for Ray IO
+    idx_uri = f"{out_dir.rstrip('/')}/_id_index"  # as addressed, for fsio
+    if keyed_ds is not None:
+        keyed_ds.select_columns([id_col, key]).write_parquet(
+            idx_dir, filesystem=sfs
         )
-        idx_parts.append(
-            d.map_batches(
-                lambda t, _v=v, _k=key: t.append_column(
-                    _k, pa.array([_v] * t.num_rows, pa.int64())
-                ),
-                batch_format="pyarrow",
-            )
-        )
-    if idx_parts:
-        idx = (
-            idx_parts[0]
-            if len(idx_parts) == 1
-            else idx_parts[0].union(*idx_parts[1:])
-        )
-        idx.write_parquet(idx_dir, filesystem=sfs)
-        index_files = [
-            f"_id_index/{r}" for r in fsio.list_files(idx_dir, ".parquet")
-        ]
     else:
-        index_files = []
+        idx_parts = []
+        for v in sorted(parts):
+            d = rd.read_parquet(
+                [f"{sbase}/{r}" for r in parts[v]], columns=[id_col],
+                filesystem=sfs,
+            )
+            idx_parts.append(
+                d.map_batches(
+                    lambda t, _v=v, _k=key: t.append_column(
+                        _k, pa.array([_v] * t.num_rows, pa.int64())
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+        if idx_parts:
+            idx = (
+                idx_parts[0]
+                if len(idx_parts) == 1
+                else idx_parts[0].union(*idx_parts[1:])
+            )
+            idx.write_parquet(idx_dir, filesystem=sfs)
+    index_files = [
+        f"_id_index/{r}" for r in fsio.list_files(idx_uri, ".parquet")
+    ] if fsio.is_dir(idx_uri) else []
     manifest = dict(
         key=key,
         id_col=id_col,
@@ -916,11 +927,11 @@ def write_lsh_bucket_layout(
 
     fsio.delete_dir_if_exists(out_dir)
     wfs, wlocal = fsio.resolve_fs(out_dir)  # see write_ivf_bucket_layout
-    emb_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        wlocal, filesystem=wfs, partition_cols=["bucket"]
-    )
+    keyed = emb_ds.map_batches(add_bucket, batch_format="pyarrow")
+    keyed.write_parquet(wlocal, filesystem=wfs, partition_cols=["bucket"])
     manifest = _write_layout_sidecars(
-        out_dir, "bucket", id_col, {"kind": "lsh", "n_planes": n_planes}
+        out_dir, "bucket", id_col, {"kind": "lsh", "n_planes": n_planes},
+        keyed_ds=keyed,
     )
     return len(manifest["partitions"])
 
