@@ -497,15 +497,18 @@ def run_stress() -> dict:
     return result
 
 
-def _emit(result: dict, compact_drop=("queries_cold",)) -> None:
+def _emit(result: dict, compact_drop=("queries_cold",),
+          summary_name: str = "bench_summary.json") -> None:
     """Print ONE compact JSON line (the driver's tail capture has a
     bounded buffer — round 2's full line outgrew it and parsed as
-    null) and write the FULL result to bench_summary.json next to
-    this file."""
+    null) and write the FULL result to ``summary_name`` next to this
+    file.  The default name is reserved for the FULL-SUITE result:
+    --scaling/--stress write their own files so a guard run never
+    clobbers the repo's resting per-query summary (it did, twice)."""
     full = json.dumps(result)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "bench_summary.json"), "w") as f:
+        with open(os.path.join(here, summary_name), "w") as f:
             f.write(full + "\n")
     except OSError:
         pass
@@ -515,9 +518,9 @@ def _emit(result: dict, compact_drop=("queries_cold",)) -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        _emit(run_scaling())
+        _emit(run_scaling(), summary_name="bench_scaling.json")
     elif "--stress" in sys.argv:
-        _emit(run_stress())
+        _emit(run_stress(), summary_name="bench_stress.json")
     elif "--headline-amplified" in sys.argv:
         print(json.dumps(run_headline_amplified()), flush=True)
     else:
