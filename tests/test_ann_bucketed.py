@@ -163,6 +163,48 @@ def test_layout_roundtrip_through_fs_uri(ray_session, tmp_path):
     assert stats["query_fetch_files"] > 0
 
 
+def test_sidecar_fallback_rebuilds_index_from_layout(ray_session, tmp_path):
+    """_write_layout_sidecars(keyed_ds=None) rebuilds the slim id
+    index by re-reading the written partitions — the recovery path for
+    a layout whose source dataset is gone.  Must produce an index (and
+    manifest) equivalent to the streaming-projection default: same
+    (id, bucket) rows, and the pruned reader still works."""
+    import shutil
+
+    from rex_ray.functions import fsio
+    from rex_ray.stages.similarity import (
+        _write_layout_sidecars,
+        lsh_topk,
+        lsh_topk_from_layout,
+        write_lsh_bucket_layout,
+    )
+
+    layout_dir = str(tmp_path / "lsh_fb")
+    write_lsh_bucket_layout(_emb(), layout_dir, n_planes=N_PLANES)
+    idx_default = rd.read_parquet(f"{layout_dir}/_id_index").to_pandas()
+
+    shutil.rmtree(f"{layout_dir}/_id_index")
+    man = _write_layout_sidecars(
+        layout_dir, "bucket", "vec_id",
+        {"kind": "lsh", "n_planes": N_PLANES},
+    )
+    assert man["index"]
+    idx_rebuilt = rd.read_parquet(f"{layout_dir}/_id_index").to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(idx_default), _norm(idx_rebuilt)
+    )
+    stats = {}
+    got = lsh_topk_from_layout(
+        layout_dir, query_ids=range(4), k=5, n_planes=N_PLANES,
+        stats_out=stats,
+    ).to_pandas()
+    want = lsh_topk(
+        _emb(), query_ids=range(4), k=5, n_planes=N_PLANES
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+    assert stats["query_fetch_files"] > 0
+
+
 def test_ivf_layout_pruned_topk_equals_full_scan(ray_session, tmp_path):
     """IVF sibling of the LSH layout: cluster-partitioned Parquet +
     sidecar codebook; pruned-read top-k equals the full-scan
