@@ -162,8 +162,15 @@ def triple_store_from_text_docs(
         if route_out is not None:
             route_out["canonical_route"] = "lp"
             route_out["n_surfaces"] = n_surfaces
+        # the sliver engine obeys the SAME driver-size knob as the
+        # route itself: a forced-LP run (max_driver_nodes=0) also
+        # forces the distributed fixpoint on the sliver, while the
+        # natural route union-finds the alias-dict-bounded sliver on
+        # the driver (it is already driver-resident)
         map_ds = canon.canonical_labels_from_nodes_ds(
-            nodes_ds, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX
+            nodes_ds, spec.VARIANT_EDGES, spec.ENTITY_ID_PREFIX,
+            sliver_max_driver_nodes=max_driver_nodes,
+            info_out=route_out,
         )
         # tagged is materialized -> count() is a metadata read; it
         # upper-bounds the triple rows, so the join fan-out can't

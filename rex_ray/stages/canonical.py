@@ -228,6 +228,8 @@ def canonical_labels_from_nodes_ds(
     nodes_ds,
     variant_edges: Sequence[Tuple[str, str]],
     prefix: str,
+    sliver_max_driver_nodes: int = DRIVER_CC_MAX_NODES,
+    info_out: dict = None,
 ):
     """Fully-distributed canonical map: (node) Dataset -> (node,
     canonical) Dataset with canonical ids already prefixed — the
@@ -239,14 +241,25 @@ def canonical_labels_from_nodes_ds(
       that appear as an endpoint of the alias graph, bounded by
       ``2 * len(variant_edges)`` (the alias dictionary is spec-literal
       broadcast state, so this is alias-dict-sized, corpus-independent);
-    * the label-propagation fixpoint runs ONLY on that touched sliver:
-      every non-touched node is its own component BY CONSTRUCTION (no
-      alias edge can reach it), so its identity label is emitted by a
-      streaming map — never shuffled, never iterated (round-4 verdict
-      item #3: the fixpoint previously dragged the full node table
-      through every round);
+    * the fixpoint runs ONLY on that touched sliver: every non-touched
+      node is its own component BY CONSTRUCTION (no alias edge can
+      reach it), so its identity label is emitted by a streaming map —
+      never shuffled, never iterated (round-4 verdict item #3: the
+      fixpoint previously dragged the full node table through every
+      round);
+    * the SLIVER's component engine obeys the same driver-size knob as
+      the flagship's route: at or below ``sliver_max_driver_nodes``
+      touched nodes the components come from driver union-find (the
+      sliver is already driver-resident — running a multi-round
+      distributed fixpoint over tens of rows is ~4 s of pure Ray-job
+      spin-up, measured); above it, :func:`cc_label_propagation` runs
+      the distributed fixpoint.  Both engines are equality-asserted in
+      tests;
     * the result feeds :func:`rex_ray.stages.link.link_triples_via_join`
       — no surface->id dict is ever built.
+
+    ``info_out`` (optional dict) gets ``{"sliver_engine", "n_touched"}``
+    so routes/stress can assert which engine ran.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -286,12 +299,36 @@ def canonical_labels_from_nodes_ds(
     untouched_labels = nodes_ds.map_batches(
         identity_untouched, batch_format="pyarrow"
     )
+    if info_out is not None:
+        info_out["n_touched"] = len(present)
     if present:
-        # LP over the alias-dict-sized sliver only; O(diameter) rounds
-        # on tables bounded by 2*len(variant_edges) rows
-        sliver_labels = canonical_labels_ds(sorted(present), edges)
+        if len(present) <= sliver_max_driver_nodes:
+            # the sliver already sits on the driver (alias-dict-
+            # bounded): union-find is exact and instant
+            if info_out is not None:
+                info_out["sliver_engine"] = "driver_uf"
+            cc = cc_local(sorted(present), edges)
+            ks = sorted(cc)
+            sliver_labels = rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(ks, pa.string()),
+                        "canonical": pa.array(
+                            [cc[k] for k in ks], pa.string()
+                        ),
+                    }
+                )
+            )
+        else:
+            # LP over the alias-dict-sized sliver; O(diameter) rounds
+            # on tables bounded by 2*len(variant_edges) rows
+            if info_out is not None:
+                info_out["sliver_engine"] = "lp"
+            sliver_labels = canonical_labels_ds(sorted(present), edges)
         labels = untouched_labels.union(sliver_labels)
     else:
+        if info_out is not None:
+            info_out["sliver_engine"] = "none"
         labels = untouched_labels
 
     def add_prefix(t: pa.Table) -> pa.Table:

@@ -83,8 +83,11 @@ def test_lp_fixpoint_runs_only_on_alias_touched_sliver(
         return real(sliver_nodes, sliver_edges)
 
     monkeypatch.setattr(canon, "canonical_labels_ds", spy)
+    # sliver_max_driver_nodes=0 forces the DISTRIBUTED fixpoint on the
+    # sliver (the natural default union-finds a driver-small sliver)
     labels = canon.canonical_labels_from_nodes_ds(
-        nodes_ds, spec.VARIANT_EDGES, prefix=spec.ENTITY_ID_PREFIX
+        nodes_ds, spec.VARIANT_EDGES, prefix=spec.ENTITY_ID_PREFIX,
+        sliver_max_driver_nodes=0,
     ).to_pandas()
 
     # the fixpoint saw only the alias-touched sliver, never the corpus
@@ -103,6 +106,40 @@ def test_lp_fixpoint_runs_only_on_alias_touched_sliver(
         for n, c in canon.cc_local(nodes, edges).items()
     }
     assert got == want
+
+
+def test_sliver_engines_equal_and_default_is_driver_uf(ray_session):
+    """The sliver's component engine obeys the driver-size knob: by
+    default an alias-dict-bounded sliver is union-found on the driver
+    (it is already driver-resident; a distributed fixpoint over tens
+    of rows is pure Ray-job spin-up), while sliver_max_driver_nodes=0
+    forces the LP fixpoint — and the two engines emit the SAME map."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rex_ray.pipelines import spec
+    from rex_ray.stages import canonical as canon
+
+    nodes = [f"u{i:03d}" for i in range(500)] + sorted(
+        {n for e in spec.VARIANT_EDGES for n in e}
+    )
+    nodes_ds = rd.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.string())})
+    ).repartition(4)
+
+    info_uf, info_lp = {}, {}
+    uf = canon.canonical_labels_from_nodes_ds(
+        nodes_ds, spec.VARIANT_EDGES, prefix=spec.ENTITY_ID_PREFIX,
+        info_out=info_uf,
+    ).to_pandas()
+    lp = canon.canonical_labels_from_nodes_ds(
+        nodes_ds, spec.VARIANT_EDGES, prefix=spec.ENTITY_ID_PREFIX,
+        sliver_max_driver_nodes=0, info_out=info_lp,
+    ).to_pandas()
+    assert info_uf["sliver_engine"] == "driver_uf"
+    assert info_lp["sliver_engine"] == "lp"
+    assert info_uf["n_touched"] == info_lp["n_touched"] > 0
+    pd.testing.assert_frame_equal(_norm(uf), _norm(lp))
 
 
 def test_guard_routes_lp_above_50k_surfaces(ray_session):
