@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "kg_triple_store_lp",            # fully-distributed canonical route
     "ta_dup_ngrams_joined",          # bounded shuffle-join dup-gram regime
     "ann_lsh_topk_bucketed",         # persisted bucket layout, pruned read
+    "ann_lsh_topk_appended",         # incremental layout append, O(new)
     "ann_ivf_exact_bucketed",        # persisted IVF layout + sidecar codebook
     "ta_bpe_merges",                 # BPE training (now oracle-checked)
     "kg_functional_preds",           # predicate functionality stats

@@ -836,6 +836,52 @@ def q_ann_lsh_topk_bucketed(sf_dir: str):
         shutil.rmtree(layout_dir, ignore_errors=True)
 
 
+def q_ann_lsh_topk_appended(sf_dir: str):
+    """Incremental index maintenance: the LSH layout is written from
+    the EVEN-id half of the embedding table, the odd half is APPENDED
+    (:func:`rex_ray.stages.similarity.append_to_bucket_layout` — new
+    files into existing hive dirs + new index files, manifest
+    refreshed last/atomically; O(new), no re-bucketing), and the
+    pruned reader runs over the result.  The LSH rule is row-local,
+    so the appended layout must reproduce the one-shot layout EXACTLY
+    — same oracle as ann_lsh_topk / ann_lsh_topk_bucketed."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from rex_ray.stages.similarity import (
+        append_to_bucket_layout,
+        lsh_topk_from_layout,
+        write_lsh_bucket_layout,
+    )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def half(parity):
+        def fn(t):
+            return t.filter(
+                pc.equal(pc.bit_wise_and(t["vec_id"], 1), parity)
+            )
+        return fn
+
+    layout_dir = tempfile.mkdtemp(prefix="rex_ray_lsh_append_")
+    try:
+        write_lsh_bucket_layout(
+            emb.map_batches(half(0), batch_format="pyarrow"),
+            layout_dir, n_planes=LSH_PLANES,
+        )
+        append_to_bucket_layout(
+            emb.map_batches(half(1), batch_format="pyarrow"), layout_dir
+        )
+        return lsh_topk_from_layout(
+            layout_dir, query_ids=range(ANN_NUM_QUERIES), k=ANN_K,
+            n_planes=LSH_PLANES,
+        ).materialize()
+    finally:
+        shutil.rmtree(layout_dir, ignore_errors=True)
+
+
 def q_ann_ivf_exact_bucketed(sf_dir: str):
     """ann_ivf_exact over a PERSISTED cluster-partitioned layout with
     the trained codebook as a sidecar: the candidate scan opens only
@@ -1598,6 +1644,7 @@ QUALIFY rank <= {ANN_K}
 
 EXT_SQL["ann_lsh_topk"] = _lsh_sql()
 EXT_SQL["ann_lsh_topk_bucketed"] = EXT_SQL["ann_lsh_topk"]
+EXT_SQL["ann_lsh_topk_appended"] = EXT_SQL["ann_lsh_topk"]
 
 EXT_SQL["ann_hard_negatives"] = f"""
 WITH sims AS (
@@ -2399,6 +2446,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_topk_bucketed": q_ann_lsh_topk_bucketed,
+    "ann_lsh_topk_appended": q_ann_lsh_topk_appended,
     "ann_hard_negatives": q_ann_hard_negatives,
     "ann_ivf_topk": q_ann_ivf_topk,        # rows-only (approximate)
     "ann_ivf_exact": q_ann_ivf_exact,

@@ -369,6 +369,7 @@ def ivf_topk_int(
     iters: int = 2,
     nprobe: int = 3,
     id_col: str = "vec_id",
+    centroids: np.ndarray = None,
 ):
     """IVF ANN with EXACT integer arithmetic end to end — the
     oracle-checkable variant of :func:`ivf_topk`.
@@ -386,8 +387,17 @@ def ivf_topk_int(
     keeps rows in any probed bucket, and emits <= k local-best rows
     per (query, batch); a single tiny groupby merges.  Output:
     (query_id, neighbor_id, rank), self excluded.
+
+    ``centroids``: optional FROZEN int64 codebook (e.g. a layout's
+    ``centroids.json`` sidecar) — skips the k-means fit, the serving
+    shape when the codebook is trained once and reused across crawl
+    increments (:func:`append_to_bucket_layout`).
     """
-    C = kmeans_fit(emb_ds, k=num_centroids, iters=iters, id_col=id_col)
+    C = (
+        np.asarray(centroids, dtype=np.int64)
+        if centroids is not None
+        else kmeans_fit(emb_ds, k=num_centroids, iters=iters, id_col=id_col)
+    )
 
     qdf = (
         _filter_ids(emb_ds, id_col, sorted(query_ids))
@@ -456,6 +466,23 @@ def ivf_topk_int(
     )
 
 
+def _ivf_add_cluster_fn(C: np.ndarray):
+    """Per-batch cluster assignment under a FIXED codebook — shared by
+    the layout writer and the incremental appender so both key rows by
+    the exact same rule."""
+    from rex_ray.functions.blocks import matrix_from_column
+
+    def add_cluster(t: pa.Table) -> pa.Table:
+        X = np.floor(
+            matrix_from_column(t, "embedding").astype(np.float64)
+            * KM_SCALE + 0.5
+        ).astype(np.int64)
+        a, _ = _assign_int(X, C)
+        return t.append_column("cluster", pa.array(a, pa.int64()))
+
+    return add_cluster
+
+
 def write_ivf_bucket_layout(
     emb_ds, out_dir: str, num_centroids: int = 8, iters: int = 2,
     id_col: str = "vec_id",
@@ -472,15 +499,7 @@ def write_ivf_bucket_layout(
     from rex_ray.functions.blocks import matrix_from_column
 
     C = kmeans_fit(emb_ds, k=num_centroids, iters=iters, id_col=id_col)
-
-    def add_cluster(t: pa.Table) -> pa.Table:
-        X = np.floor(
-            matrix_from_column(t, "embedding").astype(np.float64)
-            * KM_SCALE + 0.5
-        ).astype(np.int64)
-        a, _ = _assign_int(X, C)
-        return t.append_column("cluster", pa.array(a, pa.int64()))
-
+    add_cluster = _ivf_add_cluster_fn(C)
     fsio.delete_dir_if_exists(out_dir)
     # resolve the fs ONCE and hand Ray (fs-local path, filesystem=):
     # Ray 2.49's partitioned write re-joins child paths and trips on
@@ -831,7 +850,10 @@ def _write_layout_sidecars(
         index=index_files,
         **extra,
     )
-    fsio.write_json(f"{out_dir}/manifest.json", manifest)
+    # write-then-move: a live reader of an APPENDED layout sees either
+    # the previous complete manifest or the refreshed one, never a
+    # half-written body
+    fsio.write_json_atomic(f"{out_dir}/manifest.json", manifest)
     return manifest
 
 
@@ -913,6 +935,24 @@ def write_lsh_bucket_layout(
     readers on object storage never list directories.  Returns the
     number of bucket partitions written."""
     from rex_ray.functions import fsio
+
+    fsio.delete_dir_if_exists(out_dir)
+    wfs, wlocal = fsio.resolve_fs(out_dir)  # see write_ivf_bucket_layout
+    keyed = emb_ds.map_batches(
+        _lsh_add_bucket_fn(n_planes), batch_format="pyarrow"
+    )
+    keyed.write_parquet(wlocal, filesystem=wfs, partition_cols=["bucket"])
+    manifest = _write_layout_sidecars(
+        out_dir, "bucket", id_col, {"kind": "lsh", "n_planes": n_planes},
+        keyed_ds=keyed,
+    )
+    return len(manifest["partitions"])
+
+
+def _lsh_add_bucket_fn(n_planes: int):
+    """Per-batch LSH bucketing (same md5 ±1-plane rule as
+    :func:`lsh_topk`) — shared by the layout writer and the
+    incremental appender."""
     from rex_ray.functions.blocks import matrix_from_column
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -925,15 +965,60 @@ def write_lsh_bucket_layout(
             "bucket", pa.array(lsh_buckets(X, S), pa.int64())
         )
 
-    fsio.delete_dir_if_exists(out_dir)
-    wfs, wlocal = fsio.resolve_fs(out_dir)  # see write_ivf_bucket_layout
-    keyed = emb_ds.map_batches(add_bucket, batch_format="pyarrow")
-    keyed.write_parquet(wlocal, filesystem=wfs, partition_cols=["bucket"])
-    manifest = _write_layout_sidecars(
-        out_dir, "bucket", id_col, {"kind": "lsh", "n_planes": n_planes},
-        keyed_ds=keyed,
+    return add_bucket
+
+
+def append_to_bucket_layout(emb_ds, layout_dir: str) -> dict:
+    """Incrementally APPEND new vectors to a persisted ANN layout
+    (LSH or IVF) without rewriting it — the index-maintenance half of
+    the crawl-increment story (`kg_store_delta` pattern applied to the
+    ANN side): at 10^12 docs a nightly crawl must extend the layout by
+    O(new), never re-bucket the corpus.
+
+    * rows are keyed by the LAYOUT'S OWN rule, read from the manifest
+      (LSH: its ``n_planes``; IVF: the frozen ``centroids.json``
+      codebook — appending never retrains, so old and new rows probe
+      identically);
+    * new Parquet files land INSIDE the existing hive dirs (Ray writes
+      unique filenames and deletes nothing) and new slim index files
+      land under ``_id_index/`` — existing files are never touched, so
+      a crashed append leaves the previous manifest fully valid;
+    * ``manifest.json`` is refreshed LAST (atomic write-then-move), so
+      live readers see either the old complete layout or the new one.
+
+    Caller contract: new ids must not collide with existing ids (run
+    the Bloom anti-join of :mod:`rex_ray.stages.decontam`/store-delta
+    upstream, exactly like triple increments).  Returns the refreshed
+    manifest."""
+    import numpy as np
+
+    from rex_ray.functions import fsio
+
+    man = fsio.read_json(f"{layout_dir}/manifest.json")
+    kind = man.get("kind")
+    if kind == "lsh":
+        key, extra = "bucket", {
+            "kind": "lsh", "n_planes": man["n_planes"],
+        }
+        add_key = _lsh_add_bucket_fn(man["n_planes"])
+    elif kind == "ivf":
+        C = np.asarray(
+            fsio.read_json(f"{layout_dir}/centroids.json"),
+            dtype=np.int64,
+        )
+        key, extra = "cluster", {
+            "kind": "ivf", "num_centroids": man["num_centroids"],
+        }
+        add_key = _ivf_add_cluster_fn(C)
+    else:
+        raise ValueError(f"unknown layout kind: {kind!r}")
+
+    wfs, wlocal = fsio.resolve_fs(layout_dir)
+    keyed = emb_ds.map_batches(add_key, batch_format="pyarrow")
+    keyed.write_parquet(wlocal, filesystem=wfs, partition_cols=[key])
+    return _write_layout_sidecars(
+        layout_dir, key, man["id_col"], extra, keyed_ds=keyed
     )
-    return len(manifest["partitions"])
 
 
 def lsh_topk_from_layout(

@@ -163,6 +163,108 @@ def test_layout_roundtrip_through_fs_uri(ray_session, tmp_path):
     assert stats["query_fetch_files"] > 0
 
 
+def _emb_halves():
+    """(even-id half, odd-id half) of the embeddings table."""
+    import pyarrow.compute as pc
+
+    def half(parity):
+        def fn(t):
+            return t.filter(
+                pc.equal(pc.bit_wise_and(t["vec_id"], 1), parity)
+            )
+        return fn
+
+    a = _emb().map_batches(half(0), batch_format="pyarrow")
+    b = _emb().map_batches(half(1), batch_format="pyarrow")
+    return a, b
+
+
+def test_append_to_lsh_layout_equals_one_shot(ray_session, tmp_path):
+    """append_to_bucket_layout extends a persisted LSH layout by
+    O(new): base written from the even-id half, odd half appended —
+    the reader's top-k must be byte-equal to a layout written in one
+    shot over the full table (the LSH rule is row-local, so bucketing
+    is identical either way), and no pre-append file may be touched."""
+    from rex_ray.functions import fsio
+    from rex_ray.stages.similarity import (
+        append_to_bucket_layout,
+        lsh_topk_from_layout,
+        write_lsh_bucket_layout,
+    )
+
+    half_a, half_b = _emb_halves()
+    inc_dir = str(tmp_path / "lsh_inc")
+    one_dir = str(tmp_path / "lsh_one")
+    write_lsh_bucket_layout(half_a, inc_dir, n_planes=N_PLANES)
+    files_before = set(fsio.list_files(inc_dir, ".parquet"))
+    man = append_to_bucket_layout(half_b, inc_dir)
+    files_after = set(fsio.list_files(inc_dir, ".parquet"))
+    assert files_before < files_after  # strictly additive
+    # manifest covers every data file (old + new)
+    man_files = {
+        r for rels in man["partitions"].values() for r in rels
+    } | set(man["index"])
+    assert man_files == files_after
+
+    write_lsh_bucket_layout(_emb(), one_dir, n_planes=N_PLANES)
+    got = lsh_topk_from_layout(
+        inc_dir, query_ids=range(6), k=5, n_planes=N_PLANES
+    ).to_pandas()
+    want = lsh_topk_from_layout(
+        one_dir, query_ids=range(6), k=5, n_planes=N_PLANES
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_append_to_ivf_layout_frozen_codebook(ray_session, tmp_path):
+    """IVF append NEVER retrains: rows appended to a base layout are
+    assigned under the base's frozen centroids.json, and the reader's
+    top-k equals ivf_topk_int over the full table with that same
+    frozen codebook (new centroids=... serving path)."""
+    import numpy as np
+
+    from rex_ray.functions import fsio
+    from rex_ray.stages.similarity import (
+        append_to_bucket_layout,
+        ivf_topk_int,
+        ivf_topk_int_from_layout,
+        write_ivf_bucket_layout,
+    )
+
+    half_a, half_b = _emb_halves()
+    layout_dir = str(tmp_path / "ivf_inc")
+    _, C = write_ivf_bucket_layout(
+        half_a, layout_dir, num_centroids=8, iters=2
+    )
+    append_to_bucket_layout(half_b, layout_dir)
+    # codebook unchanged by the append
+    C_after = np.asarray(
+        fsio.read_json(f"{layout_dir}/centroids.json"), dtype=np.int64
+    )
+    np.testing.assert_array_equal(C, C_after)
+
+    got = ivf_topk_int_from_layout(
+        layout_dir, query_ids=range(4), k=5, nprobe=2
+    ).to_pandas()
+    want = ivf_topk_int(
+        _emb(), query_ids=range(4), k=5, nprobe=2, centroids=C
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_append_rejects_unknown_layout(ray_session, tmp_path):
+    from rex_ray.functions import fsio
+    from rex_ray.stages.similarity import append_to_bucket_layout
+
+    d = str(tmp_path / "bogus")
+    fsio.makedirs(d)
+    fsio.write_json(f"{d}/manifest.json", {"kind": "nope"})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        append_to_bucket_layout(_emb(), d)
+
+
 def test_sidecar_fallback_rebuilds_index_from_layout(ray_session, tmp_path):
     """_write_layout_sidecars(keyed_ds=None) rebuilds the slim id
     index by re-reading the written partitions — the recovery path for
