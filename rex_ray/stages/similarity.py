@@ -1021,6 +1021,67 @@ def append_to_bucket_layout(emb_ds, layout_dir: str) -> dict:
     )
 
 
+def compact_bucket_layout(
+    layout_dir: str, max_files_per_partition: int = 1
+) -> dict:
+    """Compact an ANN layout's over-fragmented partitions — the other
+    half of the maintenance lifecycle with
+    :func:`append_to_bucket_layout`: nightly appends accumulate small
+    files per hive dir until open-file overhead dominates the pruned
+    reads, so periodically rewrite each partition holding more than
+    ``max_files_per_partition`` files into fewer, larger ones.
+
+    Object-store-safe single-writer protocol (readers go through the
+    manifest, never a listing):
+
+    1. per fragmented partition: read its current files, rewrite them
+       as new files into the SAME hive dir (Ray writes unique names,
+       deletes nothing) — concurrent readers still see only the old
+       files via the old manifest;
+    2. swap ``manifest.json`` atomically to reference ONLY the
+       compacted files (the slim id index is untouched: compaction
+       moves no row across partitions);
+    3. delete the superseded data files — any reader that loaded the
+       manifest before the swap must finish before deletion at a real
+       deployment (grace-period deletes); here the test suite owns the
+       layout exclusively.
+
+    Returns the refreshed manifest."""
+    import ray.data as rd
+
+    from rex_ray.functions import fsio
+
+    man = fsio.read_json(f"{layout_dir}/manifest.json")
+    key = man["key"]
+    fs, base = fsio.resolve_fs(layout_dir)
+    base = base.rstrip("/")
+
+    new_partitions: dict = {}
+    superseded: list = []
+    for v, rels in man["partitions"].items():
+        if len(rels) <= max_files_per_partition:
+            new_partitions[v] = rels
+            continue
+        part_dir_rel = f"{key}={v}"
+        part_dir = f"{base}/{part_dir_rel}"
+        before = set(fsio.list_files(f"{layout_dir}/{part_dir_rel}",
+                                     ".parquet"))
+        rd.read_parquet(
+            [f"{base}/{r}" for r in rels], filesystem=fs
+        ).repartition(1).write_parquet(part_dir, filesystem=fs)
+        after = set(fsio.list_files(f"{layout_dir}/{part_dir_rel}",
+                                    ".parquet"))
+        written = sorted(after - before)
+        new_partitions[v] = [f"{part_dir_rel}/{r}" for r in written]
+        superseded.extend(rels)
+
+    man["partitions"] = new_partitions
+    fsio.write_json_atomic(f"{layout_dir}/manifest.json", man)
+    for rel in superseded:
+        fs.delete_file(f"{base}/{rel}")
+    return man
+
+
 def lsh_topk_from_layout(
     layout_dir: str,
     query_ids: Sequence[int],

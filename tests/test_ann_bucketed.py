@@ -252,6 +252,46 @@ def test_append_to_ivf_layout_frozen_codebook(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
 
 
+def test_compact_layout_after_appends(ray_session, tmp_path):
+    """compact_bucket_layout rewrites fragmented partitions into one
+    file each: reader output unchanged, per-partition file count drops
+    to <= 1, the manifest references exactly the on-disk survivors,
+    and superseded files are gone."""
+    from rex_ray.functions import fsio
+    from rex_ray.stages.similarity import (
+        append_to_bucket_layout,
+        compact_bucket_layout,
+        lsh_topk_from_layout,
+        write_lsh_bucket_layout,
+    )
+
+    half_a, half_b = _emb_halves()
+    layout_dir = str(tmp_path / "lsh_cmp")
+    write_lsh_bucket_layout(half_a, layout_dir, n_planes=N_PLANES)
+    append_to_bucket_layout(half_b, layout_dir)
+    man0 = fsio.read_json(f"{layout_dir}/manifest.json")
+    assert any(len(v) > 1 for v in man0["partitions"].values())
+    before = lsh_topk_from_layout(
+        layout_dir, query_ids=range(6), k=5, n_planes=N_PLANES
+    ).to_pandas()
+
+    man1 = compact_bucket_layout(layout_dir)
+    assert all(len(v) == 1 for v in man1["partitions"].values())
+    # manifest == exactly the surviving data files on disk
+    on_disk = {
+        r for r in fsio.list_files(layout_dir, ".parquet")
+        if not r.startswith("_id_index/")
+    }
+    in_man = {r for v in man1["partitions"].values() for r in v}
+    assert in_man == on_disk
+    # index untouched, reader output identical
+    assert man1["index"] == man0["index"]
+    after = lsh_topk_from_layout(
+        layout_dir, query_ids=range(6), k=5, n_planes=N_PLANES
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(before), _norm(after))
+
+
 def test_append_rejects_unknown_layout(ray_session, tmp_path):
     from rex_ray.functions import fsio
     from rex_ray.stages.similarity import append_to_bucket_layout
