@@ -484,6 +484,58 @@ def run_stress() -> dict:
     cols = ["subj_id", "sum_score", "max_score"]
     checks["salting_equal"] = norm(salted, cols).equals(norm(plain, cols))
 
+    # ---- 5. graph routing: >DRIVER_GRAPH_MAX_EDGES distinct edges ----
+    # a planted random graph 1.3x over the DEFAULT driver bound must
+    # route PageRank to the distributed Pregel dataflow on its own,
+    # and both engines must agree (pr rounded to 8 on both; cross-
+    # route wobble is the last ulp under the rounding, same contract
+    # as the SQL oracle)
+    import numpy as np
+
+    from rex_ray.stages.graph import (
+        DRIVER_GRAPH_MAX_EDGES,
+        pagerank,
+        triangle_counts,
+    )
+
+    rng = np.random.default_rng(23)
+    n_nodes = 2000
+    draws = rng.integers(0, n_nodes, size=(70_000, 2))
+    gedges = rd.from_pandas(
+        pd.DataFrame({"a": [f"n{a}" for a in draws[:, 0]],
+                      "b": [f"n{b}" for b in draws[:, 1]]})
+    ).repartition(16)
+    gr_dist: dict = {}
+    gr_drv: dict = {}
+    t0 = time.perf_counter()
+    pr_dist = pagerank(gedges, num_iters=3, route_out=gr_dist).to_pandas()
+    pr_drv = pagerank(
+        gedges, num_iters=3, max_driver_edges=10**12, route_out=gr_drv
+    ).to_pandas()
+    tri_dist = triangle_counts(gedges).to_pandas()
+    tri_drv = triangle_counts(gedges, max_driver_edges=10**12).to_pandas()
+    timings["graph_route"] = round(time.perf_counter() - t0, 3)
+    branches["graph_route"] = {
+        "n_edges": gr_dist.get("n_edges"),
+        "bound": DRIVER_GRAPH_MAX_EDGES,
+        "routes": [gr_dist.get("graph_route"), gr_drv.get("graph_route")],
+    }
+    checks["graph_route_engaged"] = (
+        gr_dist.get("graph_route") == "distributed"
+        and gr_dist.get("n_edges", 0) > DRIVER_GRAPH_MAX_EDGES
+        and gr_drv.get("graph_route") == "driver"
+    )
+    a = norm(pr_dist, ["entity_id", "pr"])
+    b = norm(pr_drv, ["entity_id", "pr"])
+    checks["graph_route_pr_equal"] = bool(
+        a["entity_id"].tolist() == b["entity_id"].tolist()
+        and np.allclose(a["pr"], b["pr"], atol=2e-8, rtol=0)
+    )
+    cols = ["entity_id", "n_triangles"]
+    checks["graph_route_tri_equal"] = norm(tri_dist, cols).equals(
+        norm(tri_drv, cols)
+    )
+
     result = {
         "metric": "stress_guards",
         "value": round(sum(timings.values()), 3),

@@ -15,6 +15,18 @@ against the oriented edge set.  The orientation bounds per-node wedge
 fan-out by O(sqrt(m)) regardless of raw degree skew — the hub that
 would otherwise emit deg^2 wedges emits almost none, because nearly all
 its edges point INTO it.
+
+Routing: like the flagship's canonicalization (pipelines/kg.py), every
+op here is guarded by a COUNT-only cardinality check on the deduped
+edge set (the count is metadata-cheap — the edge Dataset is already
+materialized for join-partition sizing).  At or below
+``DRIVER_GRAPH_MAX_EDGES`` distinct edges the graph is a sliver by
+cluster standards and each Pregel superstep would be pure Ray-job
+spin-up, so the op runs on an exact driver twin; above it, the
+distributed groupby/join dataflow runs and the driver never holds
+nodes or edges.  Both engines are equality-asserted in tests
+(tests/test_graph_routing.py) and the distributed dataflow keeps its
+own unit coverage via ``max_driver_edges=0``.
 """
 
 from __future__ import annotations
@@ -27,6 +39,34 @@ from rex_ray.functions.blocks import arrow_block, compact_blocks, pre_shuffle
 
 
 _EDGE_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+# Graphs at or below this many DISTINCT undirected edges run on the
+# exact driver twin instead of the multi-superstep shuffle dataflow —
+# the same sliver-vs-cluster cut as canonical.DRIVER_CC_MAX_NODES, and
+# small enough that even the driver triangle counter's worst case
+# (O(sum over edges of min-degree)) stays in the tens of millions of
+# set operations.  Pass ``max_driver_edges=0`` to force the
+# distributed route, or a larger bound on a fat-driver deployment.
+DRIVER_GRAPH_MAX_EDGES = 50_000
+
+
+def _route_driver(n_edges: int, max_driver_edges, route_out) -> bool:
+    """COUNT-only route decision shared by every op; records the
+    route + cardinality in ``route_out`` for observability/tests."""
+    if max_driver_edges is None:
+        max_driver_edges = DRIVER_GRAPH_MAX_EDGES
+    driver = n_edges <= max_driver_edges
+    if route_out is not None:
+        route_out["graph_route"] = "driver" if driver else "distributed"
+        route_out["n_edges"] = n_edges
+    return driver
+
+
+def _edge_pairs(edges_ds) -> list:
+    """Fetch a guard-bounded deduped edge Dataset to the driver as
+    (a, b) string tuples."""
+    df = edges_ds.to_pandas()
+    return list(zip(df["a"].astype(str), df["b"].astype(str)))
 
 
 def _undirected_edges(edges_ds):
@@ -62,7 +102,8 @@ def _graph_join_partitions(n_edges: int) -> int:
     return max(2, min(default_join_partitions(), n_edges // 50000 + 1))
 
 
-def triangle_counts(edges_ds, num_partitions: int = None):
+def triangle_counts(edges_ds, num_partitions: int = None,
+                    max_driver_edges: int = None, route_out: dict = None):
     """Per-node triangle participation over an undirected edge list
     (columns ``a``, ``b``).  Returns (entity_id, n_triangles), nodes in
     >=1 triangle only.
@@ -80,19 +121,37 @@ def triangle_counts(edges_ds, num_partitions: int = None):
     # prior joins emit empty partition blocks first, which would lose
     # the join's schema broadcast (see functions/blocks.compact_blocks)
     edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
+    n_edges = edges.count()  # metadata-cheap: edges is materialized
     # join partitions sized to the EDGE data, not the cluster: each
     # hash-shuffle partition is an aggregator actor, and a 32-actor
     # pool per join is pure startup overhead on a small graph (pass
     # num_partitions explicitly at real scale)
-    nparts = num_partitions or _graph_join_partitions(edges.count())
+    nparts = num_partitions or _graph_join_partitions(n_edges)
 
     _empty_out = pa.schema(
         [("entity_id", pa.string()), ("n_triangles", pa.int64())]
     ).empty_table()
-    if edges.count() == 0:  # metadata-cheap: edges is materialized
+    if n_edges == 0:
         import ray.data as rd
 
         return rd.from_arrow(_empty_out)
+    if _route_driver(n_edges, max_driver_edges, route_out):
+        import ray.data as rd
+
+        counts = triangle_counts_local(_edge_pairs(edges))
+        ids = sorted(counts)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array(ids, pa.string()),
+                    "n_triangles": pa.array(
+                        [counts[i] for i in ids], pa.int64()
+                    ),
+                }
+            )
+            if ids
+            else _empty_out
+        )
 
     # degree per node (partial counts per batch -> one slim shuffle)
     def deg_rows(t: pa.Table) -> pa.Table:
@@ -229,7 +288,8 @@ def triangle_counts_local(edges) -> dict:
 
 
 def pagerank(edges_ds, num_iters: int = 3, damping: float = 0.85,
-             num_partitions: int = None):
+             num_partitions: int = None, max_driver_edges: int = None,
+             route_out: dict = None):
     """Fixed-iteration PageRank over an undirected edge list (columns
     ``a``, ``b``) — returns (entity_id, pr) with ``pr`` rounded to 8
     decimals so the double sums (whose addition order differs between
@@ -247,13 +307,29 @@ def pagerank(edges_ds, num_iters: int = 3, damping: float = 0.85,
     from ray.data.aggregate import Sum
 
     edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
-    nparts = num_partitions or _graph_join_partitions(edges.count())
+    n_edges = edges.count()
+    nparts = num_partitions or _graph_join_partitions(n_edges)
 
     out_schema = pa.schema([("entity_id", pa.string()), ("pr", pa.float64())])
-    if edges.count() == 0:
+    if n_edges == 0:
         import ray.data as rd
 
         return rd.from_arrow(out_schema.empty_table())
+    if _route_driver(n_edges, max_driver_edges, route_out):
+        import ray.data as rd
+
+        ranks_d = pagerank_local(
+            _edge_pairs(edges), num_iters=num_iters, damping=damping
+        )
+        ids = sorted(ranks_d)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array(ids, pa.string()),
+                    "pr": pa.array([ranks_d[i] for i in ids], pa.float64()),
+                }
+            )
+        )
 
     def both_dirs(t: pa.Table) -> pa.Table:
         u = pa.concat_arrays(
@@ -382,7 +458,8 @@ def pagerank_local(edges, num_iters: int = 3, damping: float = 0.85) -> dict:
 
 
 def edge_pmi(pairs_ds, num_partitions: int = None,
-             weight_col: str = None):
+             weight_col: str = None, max_driver_edges: int = None,
+             route_out: dict = None):
     """Pointwise mutual information per co-occurring entity pair:
     ``pmi = ln((c_xy * n) / (c_x * c_y))`` over OCCURRENCES (input rows
     with columns ``a``, ``b``, duplicates = one co-occurrence each, or
@@ -441,6 +518,45 @@ def edge_pmi(pairs_ds, num_partitions: int = None,
         import ray.data as rd
 
         return rd.from_arrow(out_schema.empty_table())
+    # guard on OCCURRENCE rows (what the driver would hold), not the
+    # distinct-pair count — conservative for duplicate-heavy inputs
+    if _route_driver(pairs.count(), max_driver_edges, route_out):
+        import ray.data as rd
+
+        df = pairs.to_pandas()
+        ec = (
+            df.groupby(["a", "b"], as_index=False)["w"]
+            .sum()
+            .rename(columns={"w": "c_xy"})
+        )
+        node = (
+            pd.concat(
+                [
+                    df[["a", "w"]].rename(columns={"a": "node"}),
+                    df[["b", "w"]].rename(columns={"b": "node"}),
+                ]
+            )
+            .groupby("node")["w"]
+            .sum()
+        )
+        cxy = ec["c_xy"].to_numpy(dtype=np.int64)
+        cx = node.loc[ec["a"]].to_numpy(dtype=np.int64)
+        cy = node.loc[ec["b"]].to_numpy(dtype=np.int64)
+        # the SAME one-division-of-int-products + ln + round as the
+        # distributed finish() — bit-identical across routes
+        ratio = (cxy * n_total).astype(np.float64) / (cx * cy).astype(
+            np.float64
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_a": pa.array(ec["a"], pa.string()),
+                    "entity_b": pa.array(ec["b"], pa.string()),
+                    "n_cooc": pa.array(cxy, pa.int64()),
+                    "pmi": pa.array(np.round(np.log(ratio), 8), pa.float64()),
+                }
+            )
+        )
 
     def pair_partials(t: pa.Table) -> pa.Table:
         return (
@@ -509,11 +625,39 @@ def edge_pmi(pairs_ds, num_partitions: int = None,
     return with_counts.map_batches(finish, batch_format="pyarrow")
 
 
+def shared_neighbor_candidates_local(
+    edges, min_shared: int = 2, hot_cap: int = 1000
+) -> list:
+    """Driver twin: list of (entity_a, entity_b, n_shared, deg_a,
+    deg_b) tuples, a < b.  Degrees are FULL degrees; ``hot_cap`` only
+    drops hubs as blocking keys, exactly like the distributed wedge
+    stage."""
+    from itertools import combinations
+
+    es = {tuple(sorted((str(a), str(b)))) for a, b in edges if str(a) != str(b)}
+    adj: dict = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict = {}
+    for nbrs in adj.values():
+        if 2 <= len(nbrs) <= hot_cap:
+            for p in combinations(sorted(nbrs), 2):
+                counts[p] = counts.get(p, 0) + 1
+    return [
+        (ea, eb, n, len(adj[ea]), len(adj[eb]))
+        for (ea, eb), n in counts.items()
+        if n >= min_shared
+    ]
+
+
 def shared_neighbor_candidates(
     edges_ds,
     min_shared: int = 2,
     hot_cap: int = 1000,
     num_partitions: int = None,
+    max_driver_edges: int = None,
+    route_out: dict = None,
 ):
     """Entity-merge candidate pairs by neighborhood overlap — the
     blocking step of graph-signature entity resolution (CESI, Vashishth
@@ -537,7 +681,8 @@ def shared_neighbor_candidates(
     import ray.data as rd
 
     edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
-    nparts = num_partitions or _graph_join_partitions(edges.count())
+    n_edges = edges.count()
+    nparts = num_partitions or _graph_join_partitions(n_edges)
 
     out_schema = pa.schema(
         [
@@ -548,8 +693,26 @@ def shared_neighbor_candidates(
             ("deg_b", pa.int64()),
         ]
     )
-    if edges.count() == 0:
+    if n_edges == 0:
         return rd.from_arrow(out_schema.empty_table())
+    if _route_driver(n_edges, max_driver_edges, route_out):
+        rows = shared_neighbor_candidates_local(
+            _edge_pairs(edges), min_shared=min_shared, hot_cap=hot_cap
+        )
+        if not rows:
+            return rd.from_arrow(out_schema.empty_table())
+        ea, eb, ns, da_, db_ = zip(*rows)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_a": pa.array(ea, pa.string()),
+                    "entity_b": pa.array(eb, pa.string()),
+                    "n_shared": pa.array(ns, pa.int64()),
+                    "deg_a": pa.array(da_, pa.int64()),
+                    "deg_b": pa.array(db_, pa.int64()),
+                }
+            )
+        )
 
     def und_rows(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().cast(pa.string())
@@ -642,8 +805,36 @@ def shared_neighbor_candidates(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def kcore_peel_local(edges, k: int = 2, rounds: int = 3) -> dict:
+    """Driver twin of :func:`kcore_peel`: same fixed-round peel with
+    the same break-at-fixpoint shortcut, returning {entity_id: deg}
+    for nodes alive after ``rounds`` peels (NOT the true k-core when
+    ``rounds`` is too small — identical contract to the distributed
+    op and the unrolled SQL oracle)."""
+    es = {tuple(sorted((str(a), str(b)))) for a, b in edges if str(a) != str(b)}
+    for _ in range(rounds):
+        if not es:
+            return {}
+        deg: dict = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        if not alive:
+            return {}
+        if len(alive) == len(deg):
+            break
+        es = {(a, b) for a, b in es if a in alive and b in alive}
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
 def kcore_peel(edges_ds, k: int = 2, rounds: int = 3,
-               num_partitions: int = None):
+               num_partitions: int = None, max_driver_edges: int = None,
+               route_out: dict = None):
     """Fixed-round k-core peeling over the undirected entity graph —
     the standard coreness filter for separating the KG's dense
     backbone from noise-tail entities (Seidman 1983; at web scale the
@@ -670,7 +861,24 @@ def kcore_peel(edges_ds, k: int = 2, rounds: int = 3,
     out_schema = pa.schema([("entity_id", pa.string()), ("deg", pa.int64())])
 
     edges = compact_blocks(_undirected_edges(edges_ds)).materialize()
-    nparts = num_partitions or _graph_join_partitions(edges.count())
+    n_edges = edges.count()
+    nparts = num_partitions or _graph_join_partitions(n_edges)
+
+    if n_edges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    if _route_driver(n_edges, max_driver_edges, route_out):
+        deg = kcore_peel_local(_edge_pairs(edges), k=k, rounds=rounds)
+        ids = sorted(deg)
+        if not ids:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array(ids, pa.string()),
+                    "deg": pa.array([deg[i] for i in ids], pa.int64()),
+                }
+            )
+        )
 
     def deg_rows(t: pa.Table) -> pa.Table:
         ids = pa.concat_arrays(

@@ -28,7 +28,7 @@ def test_triangle_counts_matches_bruteforce_small():
         ("b", "c"), ("b", "d"), ("c", "d"),
         ("d", "e"),
     ]
-    got = _counts(triangle_counts(_edges_ds(edges), num_partitions=4))
+    got = _counts(triangle_counts(_edges_ds(edges), num_partitions=4, max_driver_edges=0))
     want = triangle_counts_local(edges)
     assert got == want == {"a": 3, "b": 3, "c": 3, "d": 3}
 
@@ -39,7 +39,7 @@ def test_triangle_counts_dedup_loops_direction():
         ("x", "y"), ("y", "x"), ("x", "x"),
         ("y", "z"), ("z", "x"), ("x", "y"),
     ]
-    got = _counts(triangle_counts(_edges_ds(edges), num_partitions=4))
+    got = _counts(triangle_counts(_edges_ds(edges), num_partitions=4, max_driver_edges=0))
     assert got == {"x": 1, "y": 1, "z": 1}
 
 
@@ -50,7 +50,7 @@ def test_triangle_counts_random_graph_matches_bruteforce():
     for _ in range(260):
         a, b = rng.integers(0, n, size=2)
         edges.append((f"n{a}", f"n{b}"))
-    got = _counts(triangle_counts(_edges_ds(edges), num_partitions=6))
+    got = _counts(triangle_counts(_edges_ds(edges), num_partitions=6, max_driver_edges=0))
     want = triangle_counts_local(edges)
     assert got == want
     assert sum(want.values()) % 3 == 0  # sanity: corners come in 3s
@@ -58,7 +58,7 @@ def test_triangle_counts_random_graph_matches_bruteforce():
 
 def test_triangle_counts_no_triangles():
     edges = [("a", "b"), ("b", "c"), ("c", "d")]  # a path
-    got = _counts(triangle_counts(_edges_ds(edges), num_partitions=4))
+    got = _counts(triangle_counts(_edges_ds(edges), num_partitions=4, max_driver_edges=0))
     assert got == {}
 
 
@@ -99,7 +99,7 @@ def test_pagerank_matches_local_twin():
     ]
     got = {
         r["entity_id"]: r["pr"]
-        for r in pagerank(_edges_ds(edges), num_iters=3).take_all()
+        for r in pagerank(_edges_ds(edges), num_iters=3, max_driver_edges=0).take_all()
     }
     want = pagerank_local(edges, num_iters=3)
     assert set(got) == set(want)
@@ -116,7 +116,7 @@ def test_pagerank_symmetric_star():
     edges = [("hub", f"l{i}") for i in range(6)]
     got = {
         r["entity_id"]: r["pr"]
-        for r in pagerank(_edges_ds(edges), num_iters=3).take_all()
+        for r in pagerank(_edges_ds(edges), num_iters=3, max_driver_edges=0).take_all()
     }
     assert got["hub"] > max(v for k, v in got.items() if k != "hub")
     leaf_vals = {v for k, v in got.items() if k != "hub"}
@@ -131,7 +131,7 @@ def test_edge_pmi_matches_local():
     rows = [("x", "y"), ("x", "y"), ("x", "z"), ("y", "z"), ("z", "x")]
     got = {
         (r["entity_a"], r["entity_b"]): (r["n_cooc"], r["pmi"])
-        for r in edge_pmi(_edges_ds(rows)).take_all()
+        for r in edge_pmi(_edges_ds(rows), max_driver_edges=0).take_all()
     }
     # occurrences: xy:2, xz:2 (xz + zx), yz:1 -> n=5
     # node counts: x:4, y:3, z:3
@@ -150,7 +150,7 @@ def test_edge_pmi_weighted_equals_exploded():
     occ = [("a", "b")] * 3 + [("b", "c")] * 2 + [("a", "c")]
     plain = {
         (r["entity_a"], r["entity_b"]): (r["n_cooc"], r["pmi"])
-        for r in edge_pmi(_edges_ds(occ)).take_all()
+        for r in edge_pmi(_edges_ds(occ), max_driver_edges=0).take_all()
     }
     weighted_rows = rd.from_items(
         [
@@ -161,7 +161,7 @@ def test_edge_pmi_weighted_equals_exploded():
     )
     weighted = {
         (r["entity_a"], r["entity_b"]): (r["n_cooc"], r["pmi"])
-        for r in edge_pmi(weighted_rows, weight_col="w").take_all()
+        for r in edge_pmi(weighted_rows, weight_col="w", max_driver_edges=0).take_all()
     }
     assert plain == weighted
 
@@ -181,7 +181,7 @@ def test_shared_neighbor_candidates_hand_graph(ray_session):
         ]
     )
     out = (
-        shared_neighbor_candidates(edges, min_shared=2, hot_cap=50)
+        shared_neighbor_candidates(edges, min_shared=2, hot_cap=50, max_driver_edges=0)
         .to_pandas()
         .sort_values(["entity_a", "entity_b"], ignore_index=True)
     )
@@ -193,7 +193,7 @@ def test_shared_neighbor_candidates_hand_graph(ray_session):
     # hot_cap=1: every center is skipped -> no candidates
     empty = shared_neighbor_candidates(
         rd.from_items([{"a": "a", "b": "b"}, {"a": "a", "b": "c"}]),
-        min_shared=1, hot_cap=1,
+        min_shared=1, hot_cap=1, max_driver_edges=0,
     ).to_pandas()
     assert len(empty) == 0
 
@@ -212,14 +212,14 @@ def test_kcore_peel_matches_fixpoint(ray_session):
             {"a": "d", "b": "e"},
         ]
     )
-    out = kcore_peel(edges, k=2, rounds=3).to_pandas().sort_values(
+    out = kcore_peel(edges, k=2, rounds=3, max_driver_edges=0).to_pandas().sort_values(
         "entity_id", ignore_index=True
     )
     assert out["entity_id"].tolist() == ["a", "b", "c"]
     assert out["deg"].tolist() == [2, 2, 2]
     # k=3: nothing survives (no 3-core) -> empty with stable schema
     # (Dataset-level: Ray's to_pandas drops columns on empty data)
-    empty = kcore_peel(edges, k=3, rounds=3)
+    empty = kcore_peel(edges, k=3, rounds=3, max_driver_edges=0)
     assert empty.count() == 0
     assert empty.schema().names == ["entity_id", "deg"]
 
