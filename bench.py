@@ -536,6 +536,45 @@ def run_stress() -> dict:
         norm(tri_drv, cols)
     )
 
+    # ---- 6. store routing: >DRIVER_SLIVER_MAX_ROWS store rows ----
+    # the same draws as a (subj, pred, obj) store 1.3x over the
+    # driver bound: two_hop_pred_paths must route to the distributed
+    # wedge-count composition on its own, with route-equal integer
+    # path counts (hub mids exist by construction — node fan-in ~35)
+    from rex_ray.functions.routing import DRIVER_SLIVER_MAX_ROWS
+    from rex_ray.stages.graph import two_hop_pred_paths
+
+    preds = rng.integers(0, 8, size=len(draws))
+    gstore = rd.from_pandas(
+        pd.DataFrame(
+            {"subj_id": [f"n{a}" for a in draws[:, 0]],
+             "pred": [f"p{p}" for p in preds],
+             "obj_id": [f"n{b}" for b in draws[:, 1]]}
+        ).drop_duplicates()
+    ).repartition(16)
+    sr_dist: dict = {}
+    sr_drv: dict = {}
+    t0 = time.perf_counter()
+    hop_dist = two_hop_pred_paths(gstore, route_out=sr_dist).to_pandas()
+    hop_drv = two_hop_pred_paths(
+        gstore, max_driver_rows=10**12, route_out=sr_drv
+    ).to_pandas()
+    timings["store_route"] = round(time.perf_counter() - t0, 3)
+    branches["store_route"] = {
+        "n_rows": sr_dist.get("n_rows"),
+        "bound": DRIVER_SLIVER_MAX_ROWS,
+        "routes": [sr_dist.get("route"), sr_drv.get("route")],
+    }
+    checks["store_route_engaged"] = (
+        sr_dist.get("route") == "distributed"
+        and sr_dist.get("n_rows", 0) > DRIVER_SLIVER_MAX_ROWS
+        and sr_drv.get("route") == "driver"
+    )
+    cols = ["pred1", "pred2", "n_paths"]
+    checks["store_route_twohop_equal"] = norm(hop_dist, cols).equals(
+        norm(hop_drv, cols)
+    )
+
     result = {
         "metric": "stress_guards",
         "value": round(sum(timings.values()), 3),

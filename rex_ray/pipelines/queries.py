@@ -496,53 +496,15 @@ def q_kg_two_hop_paths(sf_dir: str):
     """Two-hop path composition over the materialized store: for every
     predicate pair (p1, p2), the number of entity paths
     a -p1-> x -p2-> b — the first step of path-pattern mining /
-    rule induction (AMIE-style) over the graph.  One self hash-join of
-    the store on the mid entity (the store is orders of magnitude
-    smaller than the corpus; joins are partition-sized to it), then a
-    tiny composition-count aggregate."""
-    import pyarrow as pa
-
-    from rex_ray.functions.blocks import compact_blocks, pre_shuffle
+    rule induction (AMIE-style) over the graph.  Wedge-count
+    composition (stages/graph.two_hop_pred_paths): both sides
+    pre-aggregate to (mid, pred, cnt) so the mid join multiplies
+    counts — per-mid output bounded by the predicate vocabulary, not
+    the mid's degree squared."""
     from rex_ray.pipelines import kg
-    from rex_ray.stages.relational import default_join_partitions
+    from rex_ray.stages.graph import two_hop_pred_paths
 
-    from ray.data.aggregate import Sum
-
-    store = kg.triple_store_from_text_docs(_docs(sf_dir)).materialize()
-    left = store.map_batches(
-        lambda t: pa.table(
-            {"mid": t["obj_id"], "pred1": t["pred"], "src": t["subj_id"]}
-        ),
-        batch_format="pyarrow",
-    )
-    right = store.map_batches(
-        lambda t: pa.table(
-            {"mid": t["subj_id"], "pred2": t["pred"], "dst": t["obj_id"]}
-        ),
-        batch_format="pyarrow",
-    )
-    # partitions sized to the STORE (each hash partition is an
-    # aggregator actor; 32 actors for a 144-row store is pure spin-up)
-    nparts = max(2, min(default_join_partitions(),
-                        store.count() // 50000 + 1))
-    paths = compact_blocks(left).join(
-        compact_blocks(right), join_type="inner", on=("mid",),
-        num_partitions=nparts,
-    )
-
-    def partials(t: pa.Table) -> pa.Table:
-        return (
-            t.select(["pred1", "pred2"])
-            .group_by(["pred1", "pred2"])
-            .aggregate([([], "count_all")])
-            .rename_columns(["pred1", "pred2", "n_paths"])
-        )
-
-    return (
-        pre_shuffle(paths.map_batches(partials, batch_format="pyarrow"))
-        .groupby(["pred1", "pred2"])
-        .aggregate(Sum("n_paths", alias_name="n_paths"))
-    )
+    return two_hop_pred_paths(kg.triple_store_from_text_docs(_docs(sf_dir)))
 
 
 def q_kg_negative_samples(sf_dir: str):

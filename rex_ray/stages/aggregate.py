@@ -240,7 +240,9 @@ def triple_provenance(linked_triples_ds, evidence_k: int = 3):
     return slim.groupby(KEYS).map_groups(merge, batch_format="pandas")
 
 
-def predicate_overlap(store_ds, min_shared: int = 2):
+def predicate_overlap(store_ds, min_shared: int = 2,
+                      max_driver_rows: int = None,
+                      route_out: dict = None):
     """Predicate-synonym / domain-overlap candidates — the
     schema-induction signal behind AMIE/PATTY-style predicate
     taxonomies (Galárraga et al. WWW'13): two predicates attested for
@@ -257,10 +259,64 @@ def predicate_overlap(store_ds, min_shared: int = 2):
     partials -> pair shuffle -> per-pred count, broadcast worker-built
     (the predicate vocabulary is small by construction).
     Output: (pred_a, pred_b, n_shared, n_a, n_b), a < b.
+
+    Routing (functions/routing.py): at or below ``max_driver_rows``
+    store rows the groupby+wedge dataflow is pure job spin-up and the
+    same distinct-subject pair counts run on an exact pandas driver
+    twin (route-equality tested in tests/test_graph_routing.py).
     """
+    import ray.data as rd
+
     from ray.data.aggregate import Count, Sum
 
+    from rex_ray.functions.routing import route_driver
     from rex_ray.stages.dedup import _side_object, _worker_built_ref
+
+    out_schema = pa.schema(
+        [("pred_a", pa.string()), ("pred_b", pa.string()),
+         ("n_shared", pa.int64()), ("n_a", pa.int64()),
+         ("n_b", pa.int64())]
+    )
+    store_ds = store_ds.materialize()
+    n_rows = store_ds.count()
+    if n_rows == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    if route_driver(n_rows, max_driver_rows, route_out):
+        sp = (
+            store_ds.select_columns(["subj_id", "pred"])
+            .to_pandas().drop_duplicates()
+        )
+        sup = sp.groupby("pred", sort=False).size()
+        counts: dict = {}
+        for _, grp in sp.groupby("subj_id", sort=False)["pred"]:
+            ps = np.unique(grp.to_numpy(dtype="U"))
+            if len(ps) < 2:
+                continue
+            i, j = np.triu_indices(len(ps), k=1)
+            for a, b in zip(ps[i], ps[j]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        rows = sorted(
+            (k, v) for k, v in counts.items() if v >= min_shared
+        )
+        if not rows:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "pred_a": pa.array([k[0] for k, _ in rows], pa.string()),
+                    "pred_b": pa.array([k[1] for k, _ in rows], pa.string()),
+                    "n_shared": pa.array(
+                        [v for _, v in rows], pa.int64()
+                    ),
+                    "n_a": pa.array(
+                        [int(sup[k[0]]) for k, _ in rows], pa.int64()
+                    ),
+                    "n_b": pa.array(
+                        [int(sup[k[1]]) for k, _ in rows], pa.int64()
+                    ),
+                }
+            )
+        )
 
     _PAIR = pa.schema(
         [("pred_a", pa.string()), ("pred_b", pa.string()),
@@ -329,16 +385,6 @@ def predicate_overlap(store_ds, min_shared: int = 2):
         .aggregate(Sum("n_shared", alias_name="n_shared"))
     )
 
-    out_schema = pa.schema(
-        [
-            ("pred_a", pa.string()),
-            ("pred_b", pa.string()),
-            ("n_shared", pa.int64()),
-            ("n_a", pa.int64()),
-            ("n_b", pa.int64()),
-        ]
-    )
-
     def attach(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_schema.empty_table()
@@ -361,7 +407,8 @@ def predicate_overlap(store_ds, min_shared: int = 2):
     return cand.map_batches(attach, batch_format="pyarrow")
 
 
-def predicate_functionality(store_ds):
+def predicate_functionality(store_ds, max_driver_rows: int = None,
+                            route_out: dict = None):
     """Per-predicate functionality statistics — the KG-cleaning signal
     AMIE/PARIS key their rule mining and alignment on (Galárraga et
     al. WWW'13 §4; Suchanek et al. VLDB'11 §4): for every predicate,
@@ -373,7 +420,53 @@ def predicate_functionality(store_ds):
 
     Dataflow: two slim endpoint-count shuffles (pred, subj) / (pred,
     obj) with per-batch partials folded through ONE union groupby —
-    no joins, output one row per predicate (ontology-bounded)."""
+    no joins, output one row per predicate (ontology-bounded).
+
+    Routing (functions/routing.py): the store is the REDUCED output
+    of the corpus pipeline and is materialized here anyway, so its
+    row count is one metadata read; at or below ``max_driver_rows``
+    the two-shuffle dataflow is pure job spin-up and the same
+    all-integer statistics run on an exact pandas driver twin
+    (route-equality tested in tests/test_graph_routing.py)."""
+    import ray.data as rd
+
+    from rex_ray.functions.routing import route_driver
+
+    full_schema = pa.schema(
+        [("pred", pa.string()), ("n_triples", pa.int64()),
+         ("n_subj", pa.int64()), ("n_obj", pa.int64()),
+         ("max_fanout", pa.int64()),
+         ("functionality_ppb", pa.int64())]
+    )
+    store_ds = store_ds.materialize()
+    n_rows = store_ds.count()
+    if n_rows == 0:
+        return rd.from_arrow(full_schema.empty_table())
+    if route_driver(n_rows, max_driver_rows, route_out):
+        df = store_ds.select_columns(
+            ["subj_id", "pred", "obj_id"]
+        ).to_pandas()
+        g = df.groupby("pred", sort=False)
+        agg = pd.DataFrame(
+            {
+                "n_triples": g.size(),
+                "n_subj": g["subj_id"].nunique(),
+                "n_obj": g["obj_id"].nunique(),
+                "max_fanout": df.groupby(
+                    ["pred", "subj_id"], sort=False
+                ).size().groupby("pred").max(),
+            }
+        ).reset_index()
+        ns = agg["n_subj"].to_numpy(np.float64)
+        nt = agg["n_triples"].to_numpy(np.float64)
+        agg["functionality_ppb"] = np.floor(1e9 * ns / nt + 0.5).astype(
+            np.int64
+        )
+        return rd.from_arrow(
+            pa.Table.from_pandas(
+                agg, schema=full_schema, preserve_index=False
+            )
+        )
 
     def rename_c(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "pred" not in t.schema.names:

@@ -36,29 +36,30 @@ import pandas as pd
 import pyarrow as pa
 
 from rex_ray.functions.blocks import arrow_block, compact_blocks, pre_shuffle
+from rex_ray.functions.routing import DRIVER_SLIVER_MAX_ROWS, route_driver
 
 
 _EDGE_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
 
 # Graphs at or below this many DISTINCT undirected edges run on the
 # exact driver twin instead of the multi-superstep shuffle dataflow —
-# the same sliver-vs-cluster cut as canonical.DRIVER_CC_MAX_NODES, and
-# small enough that even the driver triangle counter's worst case
+# the shared sliver-vs-cluster cut (functions/routing.py), and small
+# enough that even the driver triangle counter's worst case
 # (O(sum over edges of min-degree)) stays in the tens of millions of
 # set operations.  Pass ``max_driver_edges=0`` to force the
 # distributed route, or a larger bound on a fat-driver deployment.
-DRIVER_GRAPH_MAX_EDGES = 50_000
+DRIVER_GRAPH_MAX_EDGES = DRIVER_SLIVER_MAX_ROWS
 
 
 def _route_driver(n_edges: int, max_driver_edges, route_out) -> bool:
-    """COUNT-only route decision shared by every op; records the
-    route + cardinality in ``route_out`` for observability/tests."""
-    if max_driver_edges is None:
-        max_driver_edges = DRIVER_GRAPH_MAX_EDGES
-    driver = n_edges <= max_driver_edges
+    """COUNT-only route decision shared by every graph op; records the
+    route + cardinality in ``route_out`` under the graph-specific keys
+    (``graph_route``, ``n_edges``) for observability/tests."""
+    driver = route_driver(
+        n_edges, max_driver_edges, route_out, key="graph_route"
+    )
     if route_out is not None:
-        route_out["graph_route"] = "driver" if driver else "distributed"
-        route_out["n_edges"] = n_edges
+        route_out["n_edges"] = route_out.pop("n_rows")
     return driver
 
 
@@ -942,4 +943,150 @@ def kcore_peel(edges_ds, k: int = 2, rounds: int = 3,
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+_TWO_HOP_SCHEMA = pa.schema(
+    [("pred1", pa.string()), ("pred2", pa.string()),
+     ("n_paths", pa.int64())]
+)
+
+
+def two_hop_pred_paths(store_ds, num_partitions: int = None,
+                       max_driver_rows: int = None,
+                       route_out: dict = None):
+    """Two-hop path composition counts over a triple store (columns
+    ``subj_id``, ``pred``, ``obj_id``): for every predicate pair
+    (p1, p2), the number of entity paths a -p1-> x -p2-> b — the
+    first step of AMIE-style path-pattern mining.  Returns
+    (pred1, pred2, n_paths), pairs with >= 1 path only.
+
+    Wedge-count dataflow: both sides pre-aggregate to
+    (mid, pred, cnt) — one slim count shuffle each — and the join on
+    ``mid`` multiplies counts, so per-mid join output is bounded by
+    the PREDICATE VOCABULARY squared, not the mid's degree squared.
+    A raw self-join of store rows (the first version) explodes on hub
+    entities: one mid with 10^5 in- and out-edges emits 10^10 join
+    rows; the count composition emits |preds_in| x |preds_out| <= a
+    few hundred.  n_paths(p1, p2) = sum over mid of
+    c_in(mid, p1) * c_out(mid, p2) — exact, all-integer.
+
+    Routing: the store is materialized (it is the REDUCED output of
+    the corpus pipeline), so the row count is one metadata read; at
+    or below ``max_driver_rows`` (default
+    ``functions.routing.DRIVER_SLIVER_MAX_ROWS``) the same wedge
+    composition runs on an exact pandas driver twin.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from rex_ray.stages.relational import default_join_partitions
+
+    store = store_ds.materialize()
+    n_rows = store.count()
+    if n_rows == 0:
+        return rd.from_arrow(_TWO_HOP_SCHEMA.empty_table())
+    if route_driver(n_rows, max_driver_rows, route_out):
+        df = store.select_columns(
+            ["subj_id", "pred", "obj_id"]
+        ).to_pandas()
+        left = (
+            df.groupby(["obj_id", "pred"], sort=False).size()
+            .rename("c1").reset_index()
+            .rename(columns={"obj_id": "mid", "pred": "pred1"})
+        )
+        right = (
+            df.groupby(["subj_id", "pred"], sort=False).size()
+            .rename("c2").reset_index()
+            .rename(columns={"subj_id": "mid", "pred": "pred2"})
+        )
+        m = left.merge(right, on="mid")
+        if len(m) == 0:
+            return rd.from_arrow(_TWO_HOP_SCHEMA.empty_table())
+        m["n_paths"] = m["c1"].to_numpy(np.int64) * m["c2"].to_numpy(
+            np.int64
+        )
+        out = (
+            m.groupby(["pred1", "pred2"], sort=False)["n_paths"].sum()
+            .reset_index()
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "pred1": pa.array(out["pred1"], pa.string()),
+                    "pred2": pa.array(out["pred2"], pa.string()),
+                    "n_paths": pa.array(
+                        out["n_paths"].to_numpy(np.int64), pa.int64()
+                    ),
+                }
+            )
+        )
+
+    nparts = num_partitions or max(
+        2, min(default_join_partitions(), n_rows // 50000 + 1)
+    )
+
+    def side_partial(mid_col: str, pred_out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or mid_col not in t.schema.names:
+                return pa.schema(
+                    [("mid", pa.string()), (pred_out, pa.string()),
+                     ("c", pa.int64())]
+                ).empty_table()
+            return (
+                pa.table(
+                    {"mid": t[mid_col].combine_chunks().cast(pa.string()),
+                     pred_out: t["pred"].combine_chunks()}
+                )
+                .group_by(["mid", pred_out])
+                .aggregate([([], "count_all")])
+                .rename_columns(["mid", pred_out, "c"])
+            )
+
+        return fn
+
+    left = (
+        pre_shuffle(
+            store.map_batches(
+                side_partial("obj_id", "pred1"), batch_format="pyarrow"
+            )
+        )
+        .groupby(["mid", "pred1"])
+        .aggregate(Sum("c", alias_name="c1"))
+    )
+    right = (
+        pre_shuffle(
+            store.map_batches(
+                side_partial("subj_id", "pred2"), batch_format="pyarrow"
+            )
+        )
+        .groupby(["mid", "pred2"])
+        .aggregate(Sum("c", alias_name="c2"))
+    )
+    joined = compact_blocks(left).join(
+        compact_blocks(right), join_type="inner", on=("mid",),
+        num_partitions=nparts,
+    )
+
+    def mul_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c1" not in t.schema.names:
+            return _TWO_HOP_SCHEMA.empty_table()
+        n = t["c1"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) * t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            pa.table(
+                {"pred1": t["pred1"].combine_chunks(),
+                 "pred2": t["pred2"].combine_chunks(),
+                 "n_paths": pa.array(n, pa.int64())}
+            )
+            .group_by(["pred1", "pred2"])
+            .aggregate([("n_paths", "sum")])
+            .rename_columns(["pred1", "pred2", "n_paths"])
+        )
+
+    return (
+        pre_shuffle(joined.map_batches(mul_partial, batch_format="pyarrow"))
+        .groupby(["pred1", "pred2"])
+        .aggregate(Sum("n_paths", alias_name="n_paths"))
     )

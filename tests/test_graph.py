@@ -253,5 +253,8 @@ def test_predicate_overlap_hand_store(ray_session):
             {"subj_id": "s3", "pred": "r", "obj_id": "o5"},  # only 1 shared
         ]
     )
-    out = predicate_overlap(store, min_shared=2).to_pandas()
-    assert out.values.tolist() == [["p", "q", 2, 2, 3]]
+    for force in (None, 0):  # driver twin AND distributed dataflow
+        out = predicate_overlap(
+            store, min_shared=2, max_driver_rows=force
+        ).to_pandas()
+        assert out.values.tolist() == [["p", "q", 2, 2, 3]]

@@ -120,3 +120,69 @@ def test_kcore_local_incomplete_rounds_contract():
         ).take_all()
     }
     assert dist == got
+
+
+@pytest.fixture(scope="module")
+def random_store():
+    """Seeded random triple store: 600 rows, 40 entities, 6 preds —
+    distinct (s, p, o) like the real store, with hub mids so the
+    two-hop wedge composition is exercised on skew."""
+    rng = np.random.default_rng(41)
+    rows = {
+        (f"e{a:02d}", f"p{p}", f"e{b:02d}")
+        for a, p, b in zip(
+            rng.integers(0, 40, size=600),
+            rng.integers(0, 6, size=600),
+            rng.integers(0, 40, size=600),
+        )
+    }
+    return rd.from_items(
+        [{"subj_id": s, "pred": p, "obj_id": o} for s, p, o in sorted(rows)]
+    )
+
+
+def test_two_hop_route_equal_and_bruteforce(random_store):
+    from rex_ray.stages.graph import two_hop_pred_paths
+
+    rows = random_store.take_all()
+    want = {}
+    for e1 in rows:
+        for e2 in rows:
+            if e1["obj_id"] == e2["subj_id"]:
+                k = (e1["pred"], e2["pred"])
+                want[k] = want.get(k, 0) + 1
+
+    out = {}
+    a = _sorted_rows(two_hop_pred_paths(random_store, route_out=out))
+    assert out["route"] == "driver"
+    b = _sorted_rows(
+        two_hop_pred_paths(random_store, max_driver_rows=0)
+    )
+    assert a.equals(b) and len(a) > 0
+    got = {
+        (r["pred1"], r["pred2"]): r["n_paths"]
+        for r in a.to_dict("records")
+    }
+    assert got == want
+
+
+def test_predicate_functionality_route_equal(random_store):
+    from rex_ray.stages.aggregate import predicate_functionality
+
+    out = {}
+    a = _sorted_rows(predicate_functionality(random_store, route_out=out))
+    assert out["route"] == "driver" and out["n_rows"] > 0
+    b = _sorted_rows(
+        predicate_functionality(random_store, max_driver_rows=0)
+    )
+    assert a.equals(b) and len(a) > 0
+
+
+def test_predicate_overlap_route_equal(random_store):
+    from rex_ray.stages.aggregate import predicate_overlap
+
+    a = _sorted_rows(predicate_overlap(random_store, min_shared=2))
+    b = _sorted_rows(
+        predicate_overlap(random_store, min_shared=2, max_driver_rows=0)
+    )
+    assert a.equals(b) and len(a) > 0

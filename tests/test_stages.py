@@ -346,16 +346,21 @@ def test_predicate_functionality_hand_computed(ray_session):
             {"subj_id": "c", "pred": "p2", "obj_id": "y"},
         ]
     ).repartition(3)
-    got = (
-        predicate_functionality(store)
-        .to_pandas().sort_values("pred", ignore_index=True)
-    )
-    assert got["pred"].tolist() == ["p1", "p2"]
-    assert got["n_triples"].tolist() == [3, 2]
-    assert got["n_subj"].tolist() == [2, 2]
-    assert got["n_obj"].tolist() == [2, 2]
-    assert got["max_fanout"].tolist() == [2, 1]
-    assert got["functionality_ppb"].tolist() == [666666667, 1000000000]
+    # both routes (driver twin + distributed dataflow) must match the
+    # hand computation exactly
+    for force in (None, 0):
+        got = (
+            predicate_functionality(store, max_driver_rows=force)
+            .to_pandas().sort_values("pred", ignore_index=True)
+        )
+        assert got["pred"].tolist() == ["p1", "p2"]
+        assert got["n_triples"].tolist() == [3, 2]
+        assert got["n_subj"].tolist() == [2, 2]
+        assert got["n_obj"].tolist() == [2, 2]
+        assert got["max_fanout"].tolist() == [2, 1]
+        assert got["functionality_ppb"].tolist() == [
+            666666667, 1000000000,
+        ]
 
 
 def test_stratified_bottomk_partition_invariant(ray_session):
