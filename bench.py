@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "ta_bpe_merges",                 # BPE training (now oracle-checked)
     "kg_functional_preds",           # predicate functionality stats
     "ta_stratified_sample",          # per-stratum KMV sampling
+    # round-5 additions
+    "kg_events",                     # event assembly (doc-local decode)
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

@@ -817,6 +817,29 @@ def q_kg_usm_relations(sf_dir: str):
     return usm.usm_relations(_docs(sf_dir))
 
 
+def q_kg_event_args(sf_dir: str):
+    """Event extraction on the USM decode base (the reference's event
+    shape, joint.py:97: typed trigger + role-labeled arguments): one
+    row per decoded trigger->argument role link.  Same five-way join
+    decode as kg_usm_relations with the EVENT label space (event types
+    as 'm' labels on trigger spans, roles as 'p' links), so the oracle
+    reuses the hp/tp cross-pair-ambiguity pattern."""
+    from rex_ray.stages import usm
+
+    return usm.usm_event_args(_docs(sf_dir))
+
+
+def q_kg_events(sf_dir: str):
+    """Per-event assembly over the decoded event layer: one row per
+    trigger span (argless triggers included with zero counts) with
+    distinct-argument / distinct-role / surviving-link counts.
+    Assembly is doc-local — the whole query is a single map_batches
+    pass, zero shuffle."""
+    from rex_ray.stages import usm
+
+    return usm.usm_events(_docs(sf_dir))
+
+
 def q_kg_globalpointer_scored(sf_dir: str):
     """Seeded biaffine + RoPE + tril-masked GlobalPointer forward ->
     thresholded spans with scores.  Model-random output: rows-only
@@ -1401,6 +1424,59 @@ FROM tri t
 JOIN hp ON hp.doc_id = t.doc_id AND hp.pos = t.subj_pos
 JOIN tp ON tp.doc_id = t.doc_id AND tp.pos = t.obj_pos
        AND tp.pred = hp.pred
+"""
+
+def _event_ctes() -> str:
+    """trig / ea / hp / tp CTEs of the event layer (requires the
+    ``mention`` CTE in scope): trig = typed triggers, ea = rule-emitted
+    trigger->argument role links (EITHER side, EVENT_WINDOW), hp/tp =
+    the per-span role-attachment sets the five-way decode actually
+    joins on (cross-pair label ambiguity, kg_usm_relations pattern)."""
+    return f"""
+    trig AS (
+        SELECT doc_id, pos,
+               {spec.sql_event_type_case("ent_type")} AS event_type
+        FROM mention
+        WHERE ent_type IN ({spec.sql_event_trigger_types()})
+    ),
+    ea AS (
+        SELECT tr.doc_id, tr.event_type, tr.pos AS trigger_pos,
+               {spec.sql_role_case("tr.event_type", "m.ent_type")} AS role,
+               m.pos AS arg_pos
+        FROM trig tr
+        JOIN mention m
+          ON m.doc_id = tr.doc_id
+         AND m.pos <> tr.pos
+         AND abs(m.pos - tr.pos) <= {spec.EVENT_WINDOW}
+    ),
+    hp AS (SELECT DISTINCT doc_id, trigger_pos AS pos, role FROM ea),
+    tp AS (SELECT DISTINCT doc_id, arg_pos AS pos, role FROM ea),
+    dec AS (
+        SELECT DISTINCT e.doc_id, e.event_type, e.trigger_pos,
+               hp.role, e.arg_pos
+        FROM ea e
+        JOIN hp ON hp.doc_id = e.doc_id AND hp.pos = e.trigger_pos
+        JOIN tp ON tp.doc_id = e.doc_id AND tp.pos = e.arg_pos
+               AND tp.role = hp.role
+    )"""
+
+
+_SQL["kg_event_args"] = f"""
+WITH {_kg_ctes()},
+{_event_ctes()}
+SELECT doc_id, event_type, trigger_pos, role, arg_pos FROM dec
+"""
+
+_SQL["kg_events"] = f"""
+WITH {_kg_ctes()},
+{_event_ctes()}
+SELECT tr.doc_id, tr.event_type, tr.pos AS trigger_pos,
+       CAST(count(DISTINCT d.arg_pos) AS BIGINT) AS n_args,
+       CAST(count(DISTINCT d.role) AS BIGINT) AS n_roles,
+       CAST(count(d.role) AS BIGINT) AS n_links
+FROM trig tr
+LEFT JOIN dec d ON d.doc_id = tr.doc_id AND d.trigger_pos = tr.pos
+GROUP BY 1, 2, 3
 """
 
 _SQL["kg_triples"] = f"""
@@ -1988,6 +2064,8 @@ QUERIES: Dict[str, Callable] = {
     "kg_crf_entities": q_kg_crf_entities,
     "kg_feature_rows_subword": q_kg_feature_rows_subword,
     "kg_usm_relations": q_kg_usm_relations,
+    "kg_event_args": q_kg_event_args,
+    "kg_events": q_kg_events,
     "kg_disambiguated_mentions": q_kg_disambiguated_mentions,
     "kg_globalpointer_scored": q_kg_globalpointer_scored,
     "kg_globalpointer_rule": q_kg_globalpointer_rule,

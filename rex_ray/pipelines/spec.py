@@ -106,6 +106,44 @@ AMBIG_ALIASES: Dict[str, Dict[str, List[str]]] = {
 AMBIG_CONTEXT_RADIUS = 2
 BAG_KEY_SEP = "###"
 
+# ---------------------------------------------------------------------------
+# Event-extraction spec (the reference's event shape,
+# ``/root/reference/rex/data/transforms/joint.py:97``: a typed TRIGGER
+# span plus role-labeled ARGUMENT spans — event types live in the
+# entity-label space, roles in the relation-label space), expressed on
+# the USM three-pointer decode base exactly like relations:
+#
+# * trigger  = mention whose entity type is in EVENT_TYPE_MAP; its
+#   event type is an 'm' label on the trigger span
+# * argument = any OTHER mention within EVENT_WINDOW tokens of the
+#   trigger, EITHER side (unlike the one-directional pair rule) —
+#   role = ROLE_MAP[(event_type, arg_type)] as a 'p' label linking
+#   trigger span -> argument span
+#
+# The decode (functions/usm.usm_join_decode) carries no pair
+# attribution, so a role that attaches to a trigger through one
+# argument and to another in-window argument through a different
+# trigger ALSO survives — the oracles replicate that five-way-join
+# semantics faithfully (the kg_usm_relations hp/tp pattern).
+# ---------------------------------------------------------------------------
+
+# trigger mention type -> event type
+EVENT_TYPE_MAP: Dict[str, str] = {
+    "OP": "operation",
+    "ALGO": "computation",
+}
+EVENT_WINDOW = 3
+# (event_type, argument mention type) -> role; missing pairs fall back
+ROLE_MAP: Dict[Tuple[str, str], str] = {
+    ("operation", "OBJ"): "target",
+    ("operation", "SYS"): "host",
+    ("operation", "ALGO"): "method",
+    ("computation", "OBJ"): "operand",
+    ("computation", "SYS"): "engine",
+    ("computation", "ACTOR"): "initiator",
+}
+ROLE_FALLBACK = "participant"
+
 # Confidence tiers reported by the threshold-filter query, mirroring the
 # reference's .97/.98/.99/.999 tiered exports (EncyclopediaDS/convert.py).
 SCORE_TIERS: List[float] = [0.25, 0.5, 1.0]
@@ -230,6 +268,27 @@ def sql_pred_case(head_type: str = "h.ent_type", tail_type: str = "t.ent_type") 
         for (ht, tt), p in sorted(PRED_MAP.items())
     )
     return f"CASE\n        {whens}\n        ELSE '{PRED_FALLBACK}' END"
+
+
+def sql_event_trigger_types() -> str:
+    """``'ALGO', 'OP'`` — the EVENT_TYPE_MAP key list for IN filters."""
+    return ", ".join(f"'{t}'" for t in sorted(EVENT_TYPE_MAP))
+
+
+def sql_event_type_case(col: str = "ent_type") -> str:
+    whens = "\n        ".join(
+        f"WHEN {col} = '{mt}' THEN '{et}'"
+        for mt, et in sorted(EVENT_TYPE_MAP.items())
+    )
+    return f"CASE\n        {whens}\n        END"
+
+
+def sql_role_case(etype: str, arg_type: str) -> str:
+    whens = "\n        ".join(
+        f"WHEN {etype} = '{et}' AND {arg_type} = '{at}' THEN '{r}'"
+        for (et, at), r in sorted(ROLE_MAP.items())
+    )
+    return f"CASE\n        {whens}\n        ELSE '{ROLE_FALLBACK}' END"
 
 
 def sql_ambig_values() -> str:

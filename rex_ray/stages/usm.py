@@ -109,3 +109,172 @@ def usm_relations(docs_ds):
     """documents -> USM-decoded relations (task stage; the emitter +
     decode state is trivial)."""
     return docs_ds.map_batches(usm_relations_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Event extraction on the same decode base (reference event shape,
+# ``/root/reference/rex/data/transforms/joint.py:97``: event types join
+# the entity-label space, argument roles the relation-label space).
+# Triggers carry their event type as the span's 'm' label; each
+# trigger->argument role link is a 'p' label — so ONE unchanged
+# usm_join_decode yields both the event inventory (ents) and the
+# role-labeled argument links (relations with head == trigger span).
+# ---------------------------------------------------------------------------
+
+
+def usm_event_label_map() -> Dict[int, dict]:
+    """{label_index: {"type": 'm'|'p', "string": name}} — event types
+    first, roles after, both sorted."""
+    etypes = sorted(set(spec.EVENT_TYPE_MAP.values()))
+    roles = sorted(set(spec.ROLE_MAP.values()) | {spec.ROLE_FALLBACK})
+    out: Dict[int, dict] = {}
+    for i, e in enumerate(etypes):
+        out[i] = {"type": "m", "string": e}
+    for j, r in enumerate(roles):
+        out[len(etypes) + j] = {"type": "p", "string": r}
+    return out
+
+
+def emit_event_links(
+    tokens: List[str],
+    label_map: Dict[int, dict],
+    window: int = spec.EVENT_WINDOW,
+) -> Tuple[list, list, list]:
+    """Deterministic (ttl, ltl, tll) for one doc's EVENT layer — the
+    trained-USM stand-in.  Every mention is an h2t-valid single-token
+    span; triggers additionally carry their event type as an 'm'
+    label; arguments are in-window mentions on EITHER side with the
+    spec role rule as the linking 'p' label."""
+    lab_of = {
+        (v["type"], v["string"]): k for k, v in label_map.items()
+    }
+    mentions = [
+        (pos, spec.GAZETTEER[tok])
+        for pos, tok in enumerate(tokens)
+        if tok in spec.GAZETTEER
+    ]
+    triggers = [
+        (pos, spec.EVENT_TYPE_MAP[ty])
+        for pos, ty in mentions
+        if ty in spec.EVENT_TYPE_MAP
+    ]
+    ttl, ltl, tll = [], [], []
+    for pos, _ty in mentions:
+        ttl.append((pos, pos, 0))  # h2t: every mention is a valid span
+    for pos, et in triggers:
+        lm = lab_of[("m", et)]
+        ltl.append((lm, pos, 0))   # event type -> trigger head
+        ltl.append((lm, pos, 1))   # event type -> trigger tail
+    for tp, et in triggers:
+        for ap, aty in mentions:
+            if ap == tp or abs(ap - tp) > window:
+                continue
+            role = spec.ROLE_MAP.get((et, aty), spec.ROLE_FALLBACK)
+            lp = lab_of[("p", role)]
+            ttl.append((tp, ap, 1))  # h2h trigger -> argument
+            ttl.append((tp, ap, 2))  # t2t trigger -> argument
+            ltl.append((lp, tp, 0))  # role -> trigger span (l2h)
+            ltl.append((lp, tp, 1))  # role -> trigger span (l2t)
+            tll.append((ap, lp, 0))  # argument span -> role (h2l)
+            tll.append((ap, lp, 1))  # argument span -> role (t2l)
+    return ttl, ltl, tll
+
+
+_EVENT_ARG_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("trigger_pos", pa.int64()),
+        ("role", pa.string()),
+        ("arg_pos", pa.int64()),
+    ]
+)
+
+_EVENT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("trigger_pos", pa.int64()),
+        ("n_args", pa.int64()),
+        ("n_roles", pa.int64()),
+        ("n_links", pa.int64()),
+    ]
+)
+
+
+def _decode_doc_events(text: str, lm: Dict[int, dict]) -> dict:
+    ttl, ltl, tll = emit_event_links(text.split(" "), lm)
+    return usm_join_decode(ttl, ltl, tll, lm)
+
+
+def usm_event_args_batch(batch: pd.DataFrame) -> pa.Table:
+    """(doc_id, text) -> one row per decoded trigger->argument role
+    link: (doc_id, event_type, trigger_pos, role, arg_pos).  The
+    relation head span is always a trigger (only triggers receive
+    'p'-label ltl attachments), so the event type is the head span's
+    'm' label."""
+    lm = usm_event_label_map()
+    rows = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        dec = _decode_doc_events(text, lm)
+        etype = {span[0]: ty for span, ty in dec["ents"]}
+        for (hh, _ht), role, (ah, _at) in dec["relations"]:
+            rows.append((doc_id, etype[hh], hh, role, ah))
+    return arrow_block(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "event_type", "trigger_pos", "role", "arg_pos",
+            ],
+        ),
+        schema=_EVENT_ARG_SCHEMA,
+    )
+
+
+def usm_events_batch(batch: pd.DataFrame) -> pa.Table:
+    """(doc_id, text) -> one row per decoded EVENT (= trigger span in
+    ents, argless triggers included with zero counts): distinct
+    argument count, distinct role count, total surviving links.
+    Assembly is doc-local (a doc's whole structure decodes inside one
+    batch) — no shuffle anywhere in the stage."""
+    lm = usm_event_label_map()
+    rows = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        dec = _decode_doc_events(text, lm)
+        links: Dict[int, list] = {span[0]: [] for span, _ in dec["ents"]}
+        for (hh, _ht), role, (ah, _at) in dec["relations"]:
+            links[hh].append((role, ah))
+        for span, ty in dec["ents"]:
+            ls = links[span[0]]
+            rows.append(
+                (
+                    doc_id,
+                    ty,
+                    span[0],
+                    len({a for _r, a in ls}),
+                    len({r for r, _a in ls}),
+                    len(ls),
+                )
+            )
+    return arrow_block(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "event_type", "trigger_pos",
+                "n_args", "n_roles", "n_links",
+            ],
+        ),
+        schema=_EVENT_SCHEMA,
+    )
+
+
+def usm_event_args(docs_ds):
+    """documents -> flat decoded trigger->argument role links."""
+    return docs_ds.map_batches(
+        usm_event_args_batch, batch_format="pandas"
+    )
+
+
+def usm_events(docs_ds):
+    """documents -> per-event assembly rows (doc-local, zero-shuffle)."""
+    return docs_ds.map_batches(usm_events_batch, batch_format="pandas")

@@ -222,3 +222,120 @@ def test_usm_stage_matches_pairwise_rule(ray_session):
     assert (0, "implements", 1) in got
     assert (0, "stores", 3) in got
     assert (1, algo_obj, 3) in got
+
+
+# ---------------------------------------------------------------------------
+# Event extraction on the USM decode base (spec.EVENT_TYPE_MAP /
+# ROLE_MAP / EVENT_WINDOW; stages/usm.emit_event_links).
+# ---------------------------------------------------------------------------
+
+
+def _brute_events(tokens):
+    """Closed-form recompute of the decoded event layer INCLUDING the
+    five-way join's cross-pair label ambiguity — the same hp/tp
+    semantics the SQL oracle renders."""
+    from rex_ray.pipelines import spec
+
+    mentions = [
+        (p, spec.GAZETTEER[t])
+        for p, t in enumerate(tokens)
+        if t in spec.GAZETTEER
+    ]
+    triggers = [
+        (p, spec.EVENT_TYPE_MAP[ty])
+        for p, ty in mentions
+        if ty in spec.EVENT_TYPE_MAP
+    ]
+    ea = set()
+    for tp_, et in triggers:
+        for ap, aty in mentions:
+            if ap != tp_ and abs(ap - tp_) <= spec.EVENT_WINDOW:
+                role = spec.ROLE_MAP.get((et, aty), spec.ROLE_FALLBACK)
+                ea.add((tp_, et, role, ap))
+    hp = {}
+    tp = {}
+    for t, _et, r, a in ea:
+        hp.setdefault(t, set()).add(r)
+        tp.setdefault(a, set()).add(r)
+    dec = set()
+    for t, et, _r, a in ea:
+        for role in hp[t] & tp[a]:
+            dec.add((et, t, role, a))
+    ents = sorted((p, et) for p, et in triggers)
+    return ents, sorted(dec)
+
+
+def _decoded_events(tokens):
+    from rex_ray.functions.usm import usm_join_decode
+    from rex_ray.stages.usm import emit_event_links, usm_event_label_map
+
+    lm = usm_event_label_map()
+    ttl, ltl, tll = emit_event_links(tokens, lm)
+    d = usm_join_decode(ttl, ltl, tll, lm)
+    etype = {span[0]: ty for span, ty in d["ents"]}
+    ents = sorted((span[0], ty) for span, ty in d["ents"])
+    rels = sorted(
+        (etype[hh], hh, role, ah)
+        for (hh, _), role, (ah, _) in d["relations"]
+    )
+    return ents, rels
+
+
+def test_event_decode_matches_brute_force_randomized():
+    """emit_event_links -> usm_join_decode equals the hp/tp closed
+    form on random gazetteer/noise token mixes."""
+    import random
+
+    from rex_ray.pipelines import spec
+
+    rng = random.Random(7)
+    vocab = list(spec.GAZETTEER) + ["zz", "qq", "pp"]
+    for _ in range(40):
+        tokens = [rng.choice(vocab) for _ in range(rng.randint(1, 14))]
+        assert _decoded_events(tokens) == _brute_events(tokens), tokens
+
+
+def test_event_decode_ambiguity_is_faithful():
+    """A role that reaches a trigger through one argument and the
+    argument through another trigger ALSO survives the five-way join:
+    agg@2's ACTOR arg attaches 'participant' to agg, merge@5 attaches
+    'participant' to join@3, so (agg, participant, join) joins up even
+    though agg->join's rule role is 'method'."""
+    tokens = ["zz", "customer", "agg", "join", "zz", "merge"]
+    _ents, rels = _decoded_events(tokens)
+    assert ("operation", 2, "method", 3) in rels      # the rule link
+    assert ("operation", 2, "participant", 3) in rels  # ambiguity link
+    assert _decoded_events(tokens) == _brute_events(tokens)
+
+
+def test_event_stage_rows_and_argless_trigger(ray_session):
+    """usm_events keeps argless triggers (zero counts) and its counts
+    agree with usm_event_args."""
+    import ray.data as rd
+
+    from rex_ray.stages.usm import usm_event_args, usm_events
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["zz customer agg join zz merge", "agg"],
+        }
+    )
+    args = usm_event_args(rd.from_pandas(docs)).to_pandas()
+    evs = usm_events(rd.from_pandas(docs)).to_pandas()
+    # doc 2: a lone trigger, no mentions in window -> one event row,
+    # zero counts, and no arg rows
+    lone = evs[evs["doc_id"] == 2]
+    assert len(lone) == 1
+    assert lone.iloc[0][["n_args", "n_roles", "n_links"]].tolist() == [0, 0, 0]
+    assert (args["doc_id"] == 2).sum() == 0
+    # doc 1: per-trigger counts recompute from the flat arg rows
+    for _, ev in evs[evs["doc_id"] == 1].iterrows():
+        sub = args[
+            (args["doc_id"] == 1)
+            & (args["trigger_pos"] == ev["trigger_pos"])
+        ]
+        assert ev["n_links"] == len(sub)
+        assert ev["n_args"] == sub["arg_pos"].nunique()
+        assert ev["n_roles"] == sub["role"].nunique()
+        assert (sub["event_type"] == ev["event_type"]).all()
