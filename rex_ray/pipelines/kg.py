@@ -35,9 +35,17 @@ def distinct_surfaces(docs_text_ds) -> list:
     """Distinct gazetteer surfaces present in the corpus.  Partial
     per-batch distinct inside the mention stage keeps the shuffle input
     tiny (one row per surface per batch)."""
+    import pyarrow as pa
+
+    def part_distinct(t: "pa.Table") -> "pa.Table":
+        # Ray 2.49 can emit schema-dropped empty blocks — guard before
+        # selecting (same hardening as the flagship's twin below)
+        if t.num_rows == 0 or "surface" not in t.schema.names:
+            return pa.table({"surface": pa.array([], pa.string())})
+        return t.select(["surface"]).group_by("surface").aggregate([])
+
     partial = extract.extract_mentions(docs_text_ds).map_batches(
-        lambda t: t.select(["surface"]).group_by("surface").aggregate([]),
-        batch_format="pyarrow",
+        part_distinct, batch_format="pyarrow",
     )
     from rex_ray.functions.blocks import pre_shuffle
 
