@@ -339,3 +339,82 @@ def test_event_stage_rows_and_argless_trigger(ray_session):
         assert ev["n_args"] == sub["arg_pos"].nunique()
         assert ev["n_roles"] == sub["role"].nunique()
         assert (sub["event_type"] == ev["event_type"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Indexed-join decode vs literal cross-product reference
+# ---------------------------------------------------------------------------
+
+
+def _naive_join_decode(ttl, ltl, tll, label_map):
+    """Literal cross-product transcription of the reference decode
+    (usm.py:107-166) — the shape functions/usm.py had before the
+    indexed-join rewrite.  Kept here as the semantic oracle: the
+    production decode must produce the SAME deduped sets at any input."""
+    h2t = [(x[0], x[1]) for x in ttl if x[2] == 0]
+    h2t_set = set(h2t)
+    hs = {x[0] for x in h2t}
+    ts = {x[1] for x in h2t}
+    h2h = [(x[0], x[1]) for x in ttl if x[2] == 1 and x[0] in hs and x[1] in hs]
+    t2t = [(x[0], x[1]) for x in ttl if x[2] == 2 and x[0] in ts and x[1] in ts]
+    pairs = [
+        ((hh, ht), (th, tt))
+        for hh, th in h2h
+        for ht, tt in t2t
+        if (hh, ht) in h2t_set and (th, tt) in h2t_set
+    ]
+    l2h = [(x[0], x[1]) for x in ltl if x[2] == 0 and x[0] in label_map and x[1] in hs]
+    l2t = [(x[0], x[1]) for x in ltl if x[2] == 1 and x[0] in label_map and x[1] in ts]
+    l2ht = [
+        ((label_map[l1]["string"], label_map[l1]["type"], l1), (h, t))
+        for l1, h in l2h
+        for l2, t in l2t
+        if l1 == l2 and (h, t) in h2t_set
+    ]
+    ls = {lb[0][2] for lb in l2ht}
+    h2l = [(x[0], x[1]) for x in tll if x[2] == 0 and x[0] in hs and x[1] in ls]
+    t2l = [(x[0], x[1]) for x in tll if x[2] == 1 and x[0] in ts and x[1] in ls]
+    ht2l = [
+        ((h, t), (label_map[l1]["string"], "p", l1))
+        for h, l1 in h2l
+        for t, l2 in t2l
+        if l1 == l2 and (h, t) in h2t_set and label_map[l1]["type"] == "p"
+    ]
+    ents = sorted({(ent[1], ent[0][0]) for ent in l2ht if ent[0][1] == "m"})
+    relations = set()
+    for (hh, ht), (th, tt) in pairs:
+        for l1, (h1, t1) in l2ht:
+            if l1[1] == "p":
+                for (h2, t2), l2 in ht2l:
+                    if (hh, ht) == (h1, t1) and (th, tt) == (h2, t2) \
+                            and l1[2] == l2[2]:
+                        relations.add(((hh, ht), l1[0], (th, tt)))
+    return {"ents": ents, "relations": sorted(relations)}
+
+
+def test_usm_decode_matches_naive_reference_on_random_links():
+    """Property: the indexed-join decode equals the literal
+    cross-product reference on dense random link lists — including
+    duplicate links, dangling positions, labels outside the map, and
+    multi-token (h != t) spans that never arise from the emitters."""
+    lm = {
+        0: {"type": "m", "string": "T0"},
+        1: {"type": "m", "string": "T1"},
+        2: {"type": "p", "string": "P0"},
+        3: {"type": "p", "string": "P1"},
+    }
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n_pos, n_lab = 6, 6  # labels 4..5 are OUTSIDE the map
+        def links(n, a_hi, b_hi, cls_hi):
+            return [
+                (int(rng.integers(a_hi)), int(rng.integers(b_hi)),
+                 int(rng.integers(cls_hi)))
+                for _ in range(n)
+            ]
+        ttl = links(int(rng.integers(0, 40)), n_pos, n_pos, 3)
+        ltl = links(int(rng.integers(0, 30)), n_lab, n_pos, 2)
+        tll = links(int(rng.integers(0, 30)), n_pos, n_lab, 2)
+        got = usm_join_decode(ttl, ltl, tll, lm)
+        want = _naive_join_decode(ttl, ltl, tll, lm)
+        assert got == want, (trial, ttl, ltl, tll)
