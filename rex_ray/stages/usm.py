@@ -61,10 +61,13 @@ def emit_links(
         lm = lab_of[("m", ty)]
         ltl.append((lm, pos, 0))   # type label -> span head
         ltl.append((lm, pos, 1))   # type label -> span tail
+    # mention positions are strictly increasing, so the first
+    # out-of-window tail ends the scan — O(M x window), not O(M^2)
+    # (matters for book-length docs; identical emission order)
     for i, (ph, hty) in enumerate(mentions):
         for pt, tty in mentions[i + 1:]:
-            if not (1 <= pt - ph <= window):
-                continue
+            if pt - ph > window:
+                break
             pred = spec.PRED_MAP.get((hty, tty), spec.PRED_FALLBACK)
             lp = lab_of[("p", pred)]
             ttl.append((ph, pt, 1))  # h2h across the pair
@@ -165,9 +168,17 @@ def emit_event_links(
         lm = lab_of[("m", et)]
         ltl.append((lm, pos, 0))   # event type -> trigger head
         ltl.append((lm, pos, 1))   # event type -> trigger tail
+    # two-sided window: slice the position-sorted mention list with
+    # bisect instead of scanning every mention per trigger —
+    # O(T x window), not O(T x M); identical emission order
+    from bisect import bisect_left, bisect_right
+
+    positions = [p for p, _ in mentions]
     for tp, et in triggers:
-        for ap, aty in mentions:
-            if ap == tp or abs(ap - tp) > window:
+        lo = bisect_left(positions, tp - window)
+        hi = bisect_right(positions, tp + window)
+        for ap, aty in mentions[lo:hi]:
+            if ap == tp:
                 continue
             role = spec.ROLE_MAP.get((et, aty), spec.ROLE_FALLBACK)
             lp = lab_of[("p", role)]
