@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "ta_stratified_sample",          # per-stratum KMV sampling
     # round-5 additions
     "kg_events",                     # event assembly (doc-local decode)
+    "ta_heavy_hitters",              # Misra-Gries sketch + exact verify
 ]
 HEADLINE = "kg_triple_store_interleaved"
 

@@ -643,6 +643,19 @@ def q_ta_dup_ngrams(sf_dir: str):
     )
 
 
+def q_ta_heavy_hitters(sf_dir: str):
+    """Exact heavy-hitter trigrams (count > total/4000) via the
+    two-pass Misra-Gries sketch-then-verify dataflow: per-batch <= k-row
+    MG summaries -> one slim groupby-sum -> <= k candidate broadcast ->
+    one exact counting pass.  Nothing corpus-sized ever shuffles; the
+    output is exact and oracle-checked."""
+    from rex_ray.stages.textstats import heavy_hitter_ngrams
+
+    return heavy_hitter_ngrams(
+        _read(sf_dir, "documents", columns=["text"]), n=3, k=4000
+    )
+
+
 def q_ta_dup_ngrams_joined(sf_dir: str):
     """The SAME dup-ngram signal through the degradation regime the
     cardinality guard takes on boilerplate-heavy crawls (duplicated-
@@ -1896,6 +1909,20 @@ GROUP BY dg.doc_id
 
 EXT_SQL["ta_dup_ngrams_joined"] = EXT_SQL["ta_dup_ngrams"]
 
+EXT_SQL["ta_heavy_hitters"] = """
+WITH g AS (
+    SELECT ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3] AS gram
+    FROM (SELECT string_split(text, ' ') AS ts FROM documents),
+         LATERAL (SELECT unnest(range(len(ts) - 2)) AS i)
+    WHERE len(ts) >= 3
+),
+tot AS (SELECT count(*) AS t FROM g)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM g, tot
+GROUP BY gram, tot.t
+HAVING count(*) * 4000 > tot.t
+"""
+
 EXT_SQL["ta_regex_tokens"] = r"""
 WITH m AS (
     SELECT doc_id,
@@ -2426,6 +2453,7 @@ EXT_QUERIES: Dict[str, Callable] = {
     "ta_stratified_sample": q_ta_stratified_sample,
     "ta_dup_ngrams": q_ta_dup_ngrams,
     "ta_dup_ngrams_joined": q_ta_dup_ngrams_joined,
+    "ta_heavy_hitters": q_ta_heavy_hitters,
     "ta_dsir_resample": q_ta_dsir_resample,
     "ta_regex_tokens": q_ta_regex_tokens,
     "ta_bpe_merges": q_ta_bpe_merges,

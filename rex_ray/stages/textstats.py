@@ -684,6 +684,133 @@ def cross_doc_dup_ngrams(
     )
 
 
+def _mg_compress(vc: pd.Series, k: int) -> pd.Series:
+    """One Misra-Gries compress step: keep at most ``k`` counters by
+    subtracting the (k+1)-th largest count from all and dropping the
+    non-positive remainder (Misra & Gries 1982).  ``vc`` must be a
+    count Series sorted descending (``value_counts`` order).  The mass
+    removed is >= (k+1) x the subtracted value, which is what bounds
+    the total underestimate of any single item across every compress
+    in the job by total/(k+1) (Agarwal et al., Mergeable Summaries,
+    2012)."""
+    if len(vc) <= k:
+        return vc
+    v = int(vc.iloc[k])
+    out = vc - v
+    return out[out > 0]
+
+
+def heavy_hitter_ngrams(docs_ds, n: int = 3, k: int = 4000,
+                        candidates_out: dict = None):
+    """EXACT corpus-wide heavy-hitter n-grams: every word n-gram whose
+    count exceeds total_grams/k, with its exact count — the frequent-
+    phrase / boilerplate-mining primitive (the SpaceSaving/Misra-Gries
+    use case of Metwally et al. 2005), shaped as the classic two-pass
+    sketch-then-verify dataflow so the answer is exact and
+    oracle-checkable while nothing corpus-sized ever shuffles:
+
+    * pass 1 (sketch): each batch folds its grams into a Misra-Gries
+      summary of <= k rows NO MATTER how much text went in (exact
+      ``value_counts`` + one :func:`_mg_compress`), plus one sentinel
+      row carrying the batch's exact raw gram count -> ONE slim
+      groupby-sum shuffle of O(batches x k) rows.  Summed MG
+      estimates underestimate any gram by < total/(k+1), so every
+      true heavy hitter survives with a positive estimate; a final
+      global compress (the (k+1)-th largest summed estimate, found by
+      a distributed sort + bounded ``take`` of k+1 rows) cuts the
+      candidate set to <= k rows — a SUPERSET of the true heavy
+      hitters (property-tested).
+    * pass 2 (verify): the <= k candidate grams broadcast once
+      (``ray.put``); one streaming pass counts ONLY candidates
+      exactly -> a tiny groupby-sum; ``count * k > total`` filters to
+      the exact answer.
+
+    At 100 TB both shuffles move O(batches x k) integer/string rows;
+    the corpus is read twice and never materialized.  Output:
+    (gram, n) int64-exact.  ``candidates_out`` (optional dict) gets
+    ``{"n_candidates": int, "total_grams": int}`` for observability.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    _P = pa.schema(
+        [("kind", pa.string()), ("gram", pa.string()), ("c", pa.int64())]
+    )
+    _OUT = pa.schema([("gram", pa.string()), ("n", pa.int64())])
+
+    def batch_grams(texts):
+        grams: list = []
+        for t in texts:
+            toks = t.split(" ")
+            grams.extend(
+                " ".join(toks[j: j + n])
+                for j in range(max(len(toks) - n + 1, 0))
+            )
+        return grams
+
+    def sketch_partial(batch: pd.DataFrame) -> pa.Table:
+        grams = batch_grams(list(batch["text"]))
+        vc = _mg_compress(pd.Series(grams).value_counts(), k)
+        df = pd.DataFrame(
+            {
+                "kind": "mg",
+                "gram": vc.index.astype(str),
+                "c": vc.to_numpy(dtype=np.int64),
+            }
+        )
+        tot = pd.DataFrame({"kind": ["tot"], "gram": [""], "c": [len(grams)]})
+        return arrow_block(pd.concat([df, tot], ignore_index=True), schema=_P)
+
+    summed = (
+        pre_shuffle(docs_ds.map_batches(sketch_partial, batch_format="pandas"))
+        .groupby(["kind", "gram"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    total = int(
+        summed.filter(expr="kind == 'tot'").sum("c", ignore_nulls=True) or 0
+    )
+    from rex_ray.functions.blocks import compact_blocks
+
+    # compact: a filter can emit schema-less empty blocks (Ray 2.49)
+    # that the sort's schema broadcast trips over
+    est = compact_blocks(summed.filter(expr="kind == 'mg'"))
+    # global compress: v = (k+1)-th largest summed estimate (bounded
+    # k+1-row take off a distributed sort of the slim estimate table)
+    top = est.sort("c", descending=True).limit(k + 1).take(k + 1)
+    v = int(top[-1]["c"]) if len(top) > k else 0
+    cand_rows = est.filter(expr=f"c > {v}").take(k)  # <= k by construction
+    candidates = [r["gram"] for r in cand_rows]
+    if candidates_out is not None:
+        candidates_out["n_candidates"] = len(candidates)
+        candidates_out["total_grams"] = total
+    if not candidates or total == 0:
+        return ray.data.from_arrow(_OUT.empty_table())
+    cand_ref = ray.put(frozenset(candidates))
+
+    def exact_partial(batch: pd.DataFrame, _ref=cand_ref) -> pa.Table:
+        cand = ray.get(_ref)
+        s = pd.Series(batch_grams(list(batch["text"])))
+        vc = s[s.isin(cand)].value_counts()
+        return arrow_block(
+            pd.DataFrame(
+                {
+                    "gram": vc.index.astype(str),
+                    "n": vc.to_numpy(dtype=np.int64),
+                }
+            ),
+            schema=_OUT,
+        )
+
+    # n * k > total  <=>  n > total // k  (exact for int n, any k/total)
+    return (
+        pre_shuffle(docs_ds.map_batches(exact_partial, batch_format="pandas"))
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n > {total // k}")
+    )
+
+
 # BPE-ish pretokenizer classes (GPT-2-style, lookahead-free so the
 # same pattern runs identically under Python re and DuckDB's RE2):
 # letter runs, digit runs, single non-alnum non-space marks.

@@ -421,3 +421,47 @@ def test_bmes_render_decode_recovers_runs(case):
         else:
             i += 1
     assert ents == want
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries sharded merge: the candidate-superset guarantee
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 25), min_size=1, max_size=400),
+    st.integers(2, 12),
+    st.integers(1, 6),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_sharded_merge_superset(stream, k, n_shards):
+    """Simulate heavy_hitter_ngrams' exact dataflow in pure pandas:
+    per-shard value_counts + one MG compress, pointwise sum across
+    shards, one global compress.  Invariants: (a) <= k survivors;
+    (b) every item with true count > total/k survives (the superset
+    guarantee the exact verify pass relies on); (c) every surviving
+    estimate underestimates (never exceeds) the true count."""
+    import pandas as pd
+
+    from rex_ray.stages.textstats import _mg_compress
+
+    items = pd.Series([f"x{v}" for v in stream])
+    total = len(items)
+    true = items.value_counts()
+
+    shard = total // n_shards + 1
+    summed = pd.Series(dtype="int64")
+    for s in range(n_shards):
+        chunk = items.iloc[s * shard: (s + 1) * shard]
+        if not len(chunk):
+            continue
+        part = _mg_compress(chunk.value_counts(), k)
+        summed = summed.add(part, fill_value=0)
+    summed = summed.sort_values(ascending=False).astype("int64")
+    survivors = _mg_compress(summed, k)
+
+    assert len(survivors) <= k
+    heavy = true[true * k > total]
+    assert set(heavy.index) <= set(survivors.index)
+    for g, est in survivors.items():
+        assert est <= true[g]

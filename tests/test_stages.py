@@ -427,3 +427,86 @@ def test_new_ops_total_on_empty_inputs(ray_session):
         empty_docs, strata_col="lang", id_col="doc_id", k=5
     ).count() == 0
     assert cross_doc_dup_ngrams(empty_docs, n=3).count() == 0
+
+    from rex_ray.stages.textstats import heavy_hitter_ngrams
+
+    assert heavy_hitter_ngrams(empty_docs, n=3, k=10).count() == 0
+
+
+def test_mg_compress_kernel():
+    """Misra-Gries compress: <= k survivors, every survivor
+    underestimated by exactly the (k+1)-th largest, small counters
+    dropped whole."""
+    import pandas as pd
+
+    from rex_ray.stages.textstats import _mg_compress
+
+    vc = pd.Series([10, 7, 7, 3, 2, 1], index=list("abcdef"))
+    out = _mg_compress(vc, k=3)
+    # v = 4th largest = 3; a->7 b->4 c->4, d..f dropped
+    assert out.to_dict() == {"a": 7, "b": 4, "c": 4}
+    # k >= len: identity
+    pd.testing.assert_series_equal(_mg_compress(vc, k=6), vc)
+
+
+def test_heavy_hitters_exact_and_superset(ray_session):
+    """Two-pass MG heavy hitters on a planted Zipf-ish corpus with k
+    far below the distinct-gram count (per-batch AND global compress
+    both fire): output == brute-force exact heavy hitters, candidate
+    set is a superset, and the answer is partition-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rex_ray.stages.textstats import heavy_hitter_ngrams
+
+    # deterministic skew: token t_i appears ~1000/i times; unigrams
+    # (n=1) so the brute force is a plain value_counts
+    toks = []
+    for i in range(1, 120):
+        toks.extend([f"t{i}"] * (1000 // i))
+    # fixed interleave so batches see mixed tokens (no shuffling APIs
+    # with ambient randomness inside a test)
+    toks = [toks[(j * 37) % len(toks)] for j in range(len(toks))]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(toks) // 10),
+            "text": [
+                " ".join(toks[j * 10: (j + 1) * 10])
+                for j in range(len(toks) // 10)
+            ],
+        }
+    )
+    all_toks = pd.Series(" ".join(docs["text"]).split(" "))
+    total = len(all_toks)
+    k = 12
+    want = (
+        all_toks.value_counts()
+        .loc[lambda s: s * k > total]
+        .rename("n")
+        .rename_axis("gram")
+        .reset_index()
+        .sort_values("gram", ignore_index=True)
+    )
+    assert 0 < len(want) < 12  # the threshold actually bites
+
+    def run(parts):
+        info = {}
+        got = (
+            heavy_hitter_ngrams(
+                rd.from_pandas(docs).repartition(parts), n=1, k=k,
+                candidates_out=info,
+            )
+            .to_pandas()
+            .sort_values("gram", ignore_index=True)
+        )
+        return got, info
+
+    got1, info1 = run(1)
+    got7, info7 = run(7)
+    pd.testing.assert_frame_equal(
+        got1.astype({"n": "int64"}), want.astype({"n": "int64"})
+    )
+    pd.testing.assert_frame_equal(got1, got7)
+    for info in (info1, info7):
+        assert info["total_grams"] == total
+        assert info["n_candidates"] <= k  # global compress bound held
