@@ -750,25 +750,62 @@ def embedding_dup_pairs(
 # near-dup clusters + corpus materialization (the dedup endgame)
 # ---------------------------------------------------------------------------
 
-def near_dup_clusters(docs_ds, threshold: float = 0.8, k: int = 3):
+def near_dup_clusters(docs_ds, threshold: float = 0.8, k: int = 3,
+                      max_driver_nodes: int = None, route_out: dict = None):
     """Connected components over the EXACT n-gram-Jaccard near-dup pair
     graph: (doc_id, cluster_id = min doc_id of the component).  Only
     docs participating in >=1 dup pair appear — singletons stay out, so
     the label table is O(dup docs), not O(corpus).
 
     Pairs come from :func:`ngram_jaccard_dup_pairs` (prefix-filtered
-    SSJoin, recall 1 by theorem), components from the distributed
-    min-label propagation in ``stages/canonical.py`` — the same
-    machinery that canonicalizes entity surfaces (reference analog:
-    set-dedup semantics of rex/models/usm.py:149 lifted to a corpus-
-    level transitive closure).  Scale: edges/labels shuffles carry
-    16-byte rows; rounds = O(cluster diameter), typically 2-3 for
-    near-dup chains."""
-    from rex_ray.stages.canonical import cc_label_propagation
+    SSJoin, recall 1 by theorem).  Components route through the same
+    COUNT-only cardinality guard as the flagship's canonicalization and
+    the graph ops (``functions/routing.py``): the pair table is the
+    post-reduction input and is materialized anyway, so ``2 * count()``
+    is a metadata-cheap upper bound on the node inventory.  At or below
+    ``max_driver_nodes`` (default ``DRIVER_SLIVER_MAX_ROWS``) the dup
+    graph is a sliver by cluster standards and each min-label-
+    propagation round would be pure Ray-job spin-up (measured: the
+    multi-round fixpoint dominated this op at test SFs), so components
+    come from exact driver union-find; above it, the distributed
+    min-label propagation in ``stages/canonical.py`` runs and the
+    driver never holds pairs — the same machinery that canonicalizes
+    entity surfaces (reference analog: set-dedup semantics of
+    rex/models/usm.py:149 lifted to a corpus-level transitive
+    closure).  Both engines are equality-asserted in tests.  Scale:
+    edges/labels shuffles carry 16-byte rows; rounds = O(cluster
+    diameter), typically 2-3 for near-dup chains."""
+    import ray.data as rd
+
+    from rex_ray.functions.routing import route_driver
+    from rex_ray.stages.canonical import cc_label_propagation, cc_local
 
     pairs = ngram_jaccard_dup_pairs(
         docs_ds, threshold=threshold, k=k
     ).materialize()
+
+    # COUNT-only route: node count <= 2 * pair count (each pair
+    # contributes two endpoints); the bound errs toward the
+    # distributed path, never toward an oversized driver pull
+    if route_driver(
+        2 * pairs.count(), max_driver_nodes, route_out,
+        key="cluster_route",
+    ):
+        id_type = pairs.schema().base_schema.field("doc_a").type
+        df = pairs.to_pandas()
+        edges_l = list(zip(df["doc_a"], df["doc_b"]))
+        nodes_l = sorted({x for e in edges_l for x in e})
+        cc = cc_local(nodes_l, edges_l)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes_l, id_type),
+                    "cluster_id": pa.array(
+                        [cc[x] for x in nodes_l], id_type
+                    ),
+                }
+            )
+        )
 
     def as_nodes(t: pa.Table) -> pa.Table:
         ids = pa.concat_arrays(
@@ -790,13 +827,17 @@ def near_dup_clusters(docs_ds, threshold: float = 0.8, k: int = 3):
     )
 
 
-def dedup_survivors(docs_ds, threshold: float = 0.8, k: int = 3):
+def dedup_survivors(docs_ds, threshold: float = 0.8, k: int = 3,
+                    max_driver_nodes: int = None, route_out: dict = None):
     """Materialize the deduplicated corpus id set: every doc except
     non-representative near-dup cluster members (representative = min
     doc_id).  The loser set is built worker-side from the (small)
     cluster label table and broadcast once; the corpus pass is a
     streaming filter — the full doc table never gathers anywhere."""
-    clusters = near_dup_clusters(docs_ds, threshold=threshold, k=k)
+    clusters = near_dup_clusters(
+        docs_ds, threshold=threshold, k=k,
+        max_driver_nodes=max_driver_nodes, route_out=route_out,
+    )
 
     def build_losers(tables) -> set:
         losers: set = set()

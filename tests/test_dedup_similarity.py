@@ -342,8 +342,23 @@ def test_dup_clusters_match_local_union_find(docs_ds):
     nodes = sorted({x for e in edges for x in e})
     expected = cc_local(nodes, edges)
 
-    got = near_dup_clusters(docs_ds, threshold=threshold).to_pandas()
+    # default route: the dup graph is a sliver -> exact driver
+    # union-find (COUNT-only guard, functions/routing.py)
+    ro = {}
+    got = near_dup_clusters(
+        docs_ds, threshold=threshold, route_out=ro
+    ).to_pandas()
+    assert ro["cluster_route"] == "driver"
     assert dict(zip(got["doc_id"], got["cluster_id"])) == expected
+
+    # forced distributed route (max_driver_nodes=0): the min-label-
+    # propagation engine must produce the identical cluster map
+    ro_lp = {}
+    got_lp = near_dup_clusters(
+        docs_ds, threshold=threshold, max_driver_nodes=0, route_out=ro_lp
+    ).to_pandas()
+    assert ro_lp["cluster_route"] == "distributed"
+    assert dict(zip(got_lp["doc_id"], got_lp["cluster_id"])) == expected
 
     surv = set(
         dedup_survivors(docs_ds, threshold=threshold).to_pandas()["doc_id"]
