@@ -6,13 +6,17 @@ tuples plus subject/relation/object projections, tp/fp/fn summed
 globally, P/R/F1 by safe division (rex/metrics/__init__.py:6-21).
 Sets are per-document: duplicate triples within a doc count once.
 
-Dataflow per view (no driver-side row loops):
+Dataflow (no driver-side row loops) — ALL FOUR VIEWS share one pass
+and ONE shuffle.  A per-view loop would re-execute the (lazy) upstream
+extract pipeline four times — a 4x corpus read at scale — and pay four
+shuffles; instead each input batch fans out its view projections as
+tagged rows with normalized key columns (view, doc_id, k0..k2):
 
     pred rows, gold rows
-      -> project to (doc_id, key...), per-batch dedupe, tag side
-      -> union, per-batch partial groupby max(side-flags)   [combiner]
-      -> groupby(doc_id, key...): max(in_pred), max(in_gold)  [1 shuffle]
-      -> per-batch tp/fp/fn partials -> global sum
+      -> per batch: for each view, project + dedupe, tag side     [fan-out]
+      -> union, per-batch partial groupby max(side-flags)        [combiner]
+      -> groupby(view, doc_id, k0..k2): max(in_pred), max(in_gold) [1 shuffle]
+      -> per-batch per-view tp/fp/fn partials -> groupby(view) sum [4 rows]
 """
 
 from __future__ import annotations
@@ -66,30 +70,163 @@ def membership(pred_ds, gold_ds, keys):
     )
 
 
-def _counts(member_ds) -> Dict[str, int]:
-    def count_batch(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+def _tagged_views(ds, doc_col: str, in_pred: int, in_gold: int):
+    """Fan out every batch into its four view projections as tagged
+    rows with NORMALIZED key columns (view, doc_id, k0, k1, k2) — one
+    schema for all views so they ride a single shuffle.  Unused key
+    slots carry '' (safe: ``view`` is part of the group key).  The
+    view columns are strings by construction (subj/pred/obj surfaces),
+    so no lossy casts occur."""
+    views = sorted(VIEWS.items())
+    key_cols = ["k0", "k1", "k2"]
 
-        p = t["in_pred"]
-        g = t["in_gold"]
-        both = pc.and_(pc.equal(p, 1), pc.equal(g, 1))
-        only_p = pc.and_(pc.equal(p, 1), pc.equal(g, 0))
-        only_g = pc.and_(pc.equal(p, 0), pc.equal(g, 1))
-        return pa.Table.from_pydict(
+    def tag(b: pd.DataFrame):
+        cols_needed = {doc_col, "subj", "pred", "obj"}
+        if len(b) == 0 or not cols_needed <= set(b.columns):
+            return arrow_block(
+                pd.DataFrame(
+                    {
+                        "view": pd.Series([], dtype=str),
+                        doc_col: pd.Series([], dtype=object),
+                        **{k: pd.Series([], dtype=str) for k in key_cols},
+                        "in_pred": pd.Series([], dtype="int64"),
+                        "in_gold": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
+        frames = []
+        for view, vcols in views:
+            out = b.loc[:, [doc_col, *vcols]].drop_duplicates()
+            d = pd.DataFrame({"view": view, doc_col: out[doc_col].values})
+            for i, k in enumerate(key_cols):
+                d[k] = out[vcols[i]].values if i < len(vcols) else ""
+            frames.append(d)
+        cat = pd.concat(frames, ignore_index=True)
+        cat["in_pred"] = in_pred
+        cat["in_gold"] = in_gold
+        return arrow_block(cat)
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+#: Bucket fan-out of the membership shuffle.  Sized so test-SF member
+#: tables land a few hundred rows per bucket while leaving headroom at
+#: scale; at 10^12-triple member tables pass num_buckets ~
+#: member_rows / 5M so per-bucket pandas frames stay in worker heap.
+DEFAULT_PARITY_BUCKETS = 256
+
+# Seeds the bucket hash only; key-tuple IDENTITY is never derived from
+# this concatenation (ambiguous tuples merely share a bucket, which is
+# harmless), so no escaping contract is needed.  NB: must not be NUL —
+# pandas' object-dtype scalar concat routes through numpy str coercion,
+# which truncates at NUL.
+_SEP = "\x1f"
+
+
+def _view_counts(
+    pred_ds, gold_ds, doc_col: str, num_buckets: int = None
+) -> Dict[str, Dict[str, int]]:
+    """tp/fp/fn per view in ONE pass over each input and ONE shuffle.
+
+    The exchange groups on a single int64 bucket column (md5-64 of the
+    key tuple mod ``num_buckets``) instead of the 5-column string key —
+    Ray's sort-based aggregate on multi-string keys measured ~7x slower
+    than this bucket route at sf0.01 (11.0 s vs 1.5 s for the same 89k
+    member rows).  Exactness is preserved because the bucket is ONLY a
+    routing key: all rows of a key tuple hash to the same bucket, and
+    the reduction inside each bucket groups on the real columns with
+    vectorized pandas."""
+    from ray.data.aggregate import Sum
+
+    from rex_ray.functions.hashing import md5_hash64_batch
+
+    nb = num_buckets or DEFAULT_PARITY_BUCKETS
+    group_cols = ["view", doc_col, "k0", "k1", "k2"]
+    count_cols = ("tp", "fp", "fn")
+
+    u = _tagged_views(pred_ds, doc_col, 1, 0).union(
+        _tagged_views(gold_ds, doc_col, 0, 1)
+    )
+
+    def combine(b: pd.DataFrame):
+        if len(b) == 0 or "view" not in b.columns:
+            return arrow_block(
+                pd.DataFrame(
+                    {
+                        "view": pd.Series([], dtype=str),
+                        doc_col: pd.Series([], dtype=object),
+                        "k0": pd.Series([], dtype=str),
+                        "k1": pd.Series([], dtype=str),
+                        "k2": pd.Series([], dtype=str),
+                        "in_pred": pd.Series([], dtype="int64"),
+                        "in_gold": pd.Series([], dtype="int64"),
+                        "h": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
+        g = (
+            b.groupby(group_cols, sort=False, observed=True)[
+                ["in_pred", "in_gold"]
+            ]
+            .max()
+            .reset_index()
+        )
+        key = (
+            g["view"] + _SEP + g[doc_col].astype(str) + _SEP
+            + g["k0"] + _SEP + g["k1"] + _SEP + g["k2"]
+        )
+        g["h"] = (md5_hash64_batch(key.tolist()) % nb).astype("int64")
+        return arrow_block(g)
+
+    part = pre_shuffle(u.map_batches(combine, batch_format="pandas"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
             {
-                "tp": [pc.sum(pc.cast(both, pa.int64())).as_py() or 0],
-                "fp": [pc.sum(pc.cast(only_p, pa.int64())).as_py() or 0],
-                "fn": [pc.sum(pc.cast(only_g, pa.int64())).as_py() or 0],
+                "view": pd.Series([], dtype=str),
+                **{c: pd.Series([], dtype="int64") for c in count_cols},
             }
         )
+        if len(df) == 0 or "view" not in df.columns:
+            return empty
+        m = (
+            df.groupby(group_cols, sort=False, observed=True)[
+                ["in_pred", "in_gold"]
+            ]
+            .max()
+            .reset_index()
+        )
+        p = m["in_pred"].to_numpy()
+        g = m["in_gold"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "view": m["view"],
+                "tp": ((p == 1) & (g == 1)).astype("int64"),
+                "fp": ((p == 1) & (g == 0)).astype("int64"),
+                "fn": ((p == 0) & (g == 1)).astype("int64"),
+            }
+        )
+        return out.groupby("view", sort=False).sum().reset_index()
 
-    partial = member_ds.map_batches(count_batch, batch_format="pyarrow")
-    agg = partial.sum(["tp", "fp", "fn"])
-    return {
-        "tp": int(agg["sum(tp)"]),
-        "fp": int(agg["sum(fp)"]),
-        "fn": int(agg["sum(fn)"]),
-    }
+    rows = (
+        part.groupby("h")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("view")
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"),
+        )
+        .take_all()
+    )
+    counts = {
+        v: {"tp": 0, "fp": 0, "fn": 0} for v in VIEWS
+    }  # views absent from empty inputs still report zeros
+    for r in rows:
+        counts[r["view"]] = {
+            c: int(r[c]) for c in count_cols
+        }
+    return counts
 
 
 def triple_prf(
@@ -100,11 +237,10 @@ def triple_prf(
     Both inputs carry (doc_id, subj, pred, obj) rows; per-doc set
     semantics match rex/metrics/triple.py:13-19 (set() casts per
     instance)."""
-    out = {}
-    for view, vcols in VIEWS.items():
-        keys = [doc_col, *vcols]
-        out[view] = prf1_from_counts(**_counts(membership(pred_ds, gold_ds, keys)))
-    return out
+    counts = _view_counts(pred_ds, gold_ds, doc_col)
+    return {
+        view: prf1_from_counts(**counts[view]) for view in VIEWS
+    }
 
 
 def parity_table(pred_ds, gold_ds, doc_col: str = "doc_id") -> pa.Table:
