@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     # round-5 additions
     "kg_events",                     # event assembly (doc-local decode)
     "ta_heavy_hitters",              # Misra-Gries sketch + exact verify
+    "kg_parity_prf",                 # north-rule P/R metric: fused 4-view pass
+    "dd_dup_clusters",               # near-dup CC, cardinality-routed engine
+    "dd_survivors",                  # dedup endgame: losers broadcast filter
 ]
 HEADLINE = "kg_triple_store_interleaved"
 
